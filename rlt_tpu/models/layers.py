@@ -1,0 +1,261 @@
+"""Shared neural layers with torch-matching semantics, built TPU-first.
+
+The reference composes every model from three blocks (SURVEY §2.2): a stacked
+bidirectional LSTM encoder (torch cuDNN LSTM), a torch TransformerEncoder
+(post-LayerNorm, ReLU FF of width 2048), and tiny Linear+Softmax/Sigmoid
+towers. Here:
+
+* the LSTM is a `jax.lax.scan` whose input projection for *all* timesteps is
+  hoisted into one big MXU matmul before the scan (the per-step work is just
+  the (B, H) @ (H, 4H) recurrent matmul + elementwise gates),
+* attention runs through `rlt_tpu.ops.multi_head_attention` (Pallas fused
+  kernel on the no-dropout path),
+* initializers reproduce the torch distributions the reference trains from
+  (nn.LSTM / nn.Linear kaiming-uniform bounds, MHA xavier in_proj, randn
+  gates/positional encodings) because with 4 gradient steps per epoch the init
+  *is* part of the training dynamics.
+
+Weight layouts intentionally match torch (LSTM weight_ih: (4H, F) with i,f,g,o
+gate order; Linear weight: (out, in)) so parity tests can copy torch state
+dicts directly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rlt_tpu.ops.attention import multi_head_attention
+
+
+# ---------------------------------------------------------------------------
+# torch-matching initializers
+# ---------------------------------------------------------------------------
+
+def uniform_bound(bound: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def kaiming_uniform_linear(fan_in: int) -> Callable:
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    return uniform_bound(1.0 / math.sqrt(fan_in))
+
+
+def xavier_uniform() -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        fan_out, fan_in = shape[0], shape[1]
+        bound = math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+    return init
+
+
+def randn_init() -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype)
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Linear with torch layout (weight: (out, in))
+# ---------------------------------------------------------------------------
+
+class TorchLinear(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        weight = self.param("weight", kaiming_uniform_linear(fan_in), (self.features, fan_in))
+        y = x @ weight.T
+        if self.use_bias:
+            bias = self.param("bias", kaiming_uniform_linear(fan_in), (self.features,))
+            y = y + bias
+        return y
+
+
+# ---------------------------------------------------------------------------
+# LSTM (torch nn.LSTM semantics: stacked, bidirectional, batch_first)
+# ---------------------------------------------------------------------------
+
+def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int = 8):
+    """Single-direction LSTM over (B, L, F) -> (B, L, H).
+
+    The input projection for every timestep is one (B*L, F) @ (F, 4H) matmul
+    hoisted out of the scan; the scan body is the recurrent matmul + gates.
+    Gate order i, f, g, o matches torch.
+    """
+    batch = x.shape[0]
+    hidden = w_hh.shape[1]
+    xw = jnp.einsum("blf,gf->blg", x, w_ih) + b_ih + b_hh  # (B, L, 4H)
+    xw = jnp.swapaxes(xw, 0, 1)  # time-major (L, B, 4H)
+    if reverse:
+        xw = jnp.flip(xw, axis=0)
+
+    w_hh_t = w_hh.T  # (H, 4H)
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = x_t + h @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((batch, hidden), x.dtype),
+        jnp.zeros((batch, hidden), x.dtype),
+    )
+    _, ys = jax.lax.scan(step, init, xw, unroll=unroll)
+    if reverse:
+        ys = jnp.flip(ys, axis=0)
+    return jnp.swapaxes(ys, 0, 1)  # (B, L, H)
+
+
+class LSTM(nn.Module):
+    """Stacked (bi)directional LSTM matching torch nn.LSTM output semantics:
+    returns the top layer's per-step hidden states, directions concatenated."""
+
+    hidden_size: int = 128
+    num_layers: int = 2
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        init = uniform_bound(1.0 / math.sqrt(self.hidden_size))
+        for layer in range(self.num_layers):
+            in_features = x.shape[-1]
+            outs = []
+            directions = (False, True) if self.bidirectional else (False,)
+            for reverse in directions:
+                suffix = f"l{layer}" + ("_reverse" if reverse else "")
+                w_ih = self.param(f"weight_ih_{suffix}", init, (4 * self.hidden_size, in_features))
+                w_hh = self.param(f"weight_hh_{suffix}", init, (4 * self.hidden_size, self.hidden_size))
+                b_ih = self.param(f"bias_ih_{suffix}", init, (4 * self.hidden_size,))
+                b_hh = self.param(f"bias_hh_{suffix}", init, (4 * self.hidden_size,))
+                outs.append(_lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse))
+            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Multi-head self-attention (torch nn.MultiheadAttention semantics)
+# ---------------------------------------------------------------------------
+
+class SelfAttention(nn.Module):
+    d_model: int
+    n_head: int
+    dropout: float = 0.0
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = self.d_model
+        in_proj_w = self.param("in_proj_weight", xavier_uniform(), (3 * d, d))
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qkv = x @ in_proj_w.T + in_proj_b  # (B, L, 3D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        batch, seq_len, _ = x.shape
+        head_dim = d // self.n_head
+
+        def split_heads(t):
+            return t.reshape(batch, seq_len, self.n_head, head_dim).transpose(0, 2, 1, 3)
+
+        rng = None
+        rate = self.dropout
+        if not deterministic and rate > 0.0:
+            rng = self.make_rng("dropout")
+        attn = multi_head_attention(
+            split_heads(q), split_heads(k), split_heads(v),
+            dropout_rate=0.0 if deterministic else rate,
+            dropout_rng=rng,
+            use_pallas=self.use_pallas and deterministic,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(batch, seq_len, d)
+        out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+        return attn @ out_w.T + out_b
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer: post-LayerNorm, ReLU FF (width 2048)."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        attn = SelfAttention(
+            self.d_model, self.n_head, self.dropout, self.use_pallas, name="self_attn"
+        )(x, deterministic)
+        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
+
+        h = TorchLinear(self.dim_feedforward, name="linear1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = TorchLinear(self.d_model, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+
+
+class TransformerEncoder(nn.Module):
+    d_model: int
+    n_head: int
+    num_layers: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_model, self.n_head, self.dim_feedforward, self.dropout,
+                self.use_pallas, name=f"layers_{i}",
+            )(x, deterministic)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Output towers (reference models/MMOECut.py:17-53 and the per-model heads)
+# ---------------------------------------------------------------------------
+
+class TowerCut(nn.Module):
+    """Linear -> softmax over positions: a cut distribution (B, L, 1)."""
+
+    @nn.compact
+    def __call__(self, x):
+        logits = TorchLinear(1, name="linear")(x)
+        return jax.nn.softmax(logits, axis=1)
+
+
+class TowerClass(nn.Module):
+    """Linear -> sigmoid: per-position relevance probability (B, L, 1)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return jax.nn.sigmoid(TorchLinear(1, name="linear")(x))
+
+
+class TowerRerank(nn.Module):
+    """Linear -> softmax over positions: rerank score distribution (B, L, 1)."""
+
+    @nn.compact
+    def __call__(self, x):
+        logits = TorchLinear(1, name="linear")(x)
+        return jax.nn.softmax(logits, axis=1)

@@ -1,0 +1,81 @@
+"""Numerical parity of the core layers against torch (the reference's
+substrate): copy a torch module's weights into the flax layer and require
+matching outputs. This pins down weight layouts, gate order, residual/LayerNorm
+placement, and softmax axes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from rlt_tpu.models.layers import LSTM, TransformerEncoderLayer
+from rlt_tpu.ops.attention import fused_attention, xla_attention
+
+
+def test_lstm_matches_torch(rng):
+    B, L, F, H = 3, 17, 5, 8
+    x = rng.normal(size=(B, L, F)).astype(np.float32)
+
+    torch_lstm = torch.nn.LSTM(F, H, num_layers=2, batch_first=True, bidirectional=True)
+    torch_lstm.eval()
+    with torch.no_grad():
+        expected = torch_lstm(torch.tensor(x))[0].numpy()
+
+    model = LSTM(hidden_size=H, num_layers=2, bidirectional=True)
+    params = model.init(jax.random.PRNGKey(0), jnp.array(x))["params"]
+    sd = torch_lstm.state_dict()
+    converted = {k: jnp.array(v.numpy()) for k, v in sd.items()}
+    assert set(converted) == set(params), (set(converted) ^ set(params))
+    got = np.asarray(model.apply({"params": converted}, jnp.array(x)))
+
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("d_model,n_head", [(128, 8), (256, 4)])
+def test_transformer_layer_matches_torch(rng, d_model, n_head):
+    B, L = 2, 12
+    x = rng.normal(size=(B, L, d_model)).astype(np.float32)
+
+    torch_layer = torch.nn.TransformerEncoderLayer(
+        d_model=d_model, nhead=n_head, dropout=0.0, batch_first=True
+    )
+    torch_layer.eval()
+    with torch.no_grad():
+        expected = torch_layer(torch.tensor(x)).numpy()
+
+    model = TransformerEncoderLayer(d_model=d_model, n_head=n_head, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.array(x))["params"]
+    sd = {k: v.numpy() for k, v in torch_layer.state_dict().items()}
+    converted = {
+        "self_attn": {
+            "in_proj_weight": sd["self_attn.in_proj_weight"],
+            "in_proj_bias": sd["self_attn.in_proj_bias"],
+            "out_proj_weight": sd["self_attn.out_proj.weight"],
+            "out_proj_bias": sd["self_attn.out_proj.bias"],
+        },
+        "linear1": {"weight": sd["linear1.weight"], "bias": sd["linear1.bias"]},
+        "linear2": {"weight": sd["linear2.weight"], "bias": sd["linear2.bias"]},
+        "norm1": {"scale": sd["norm1.weight"], "bias": sd["norm1.bias"]},
+        "norm2": {"scale": sd["norm2.weight"], "bias": sd["norm2.bias"]},
+    }
+    converted = jax.tree.map(jnp.array, converted)
+    chex_structs_match = jax.tree_util.tree_structure(
+        jax.tree.map(np.shape, converted)
+    ) == jax.tree_util.tree_structure(jax.tree.map(np.shape, dict(params)))
+    assert chex_structs_match
+    got = np.asarray(model.apply({"params": converted}, jnp.array(x), deterministic=True))
+
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_attention_matches_xla(rng):
+    B, H, L, dh = 2, 4, 300, 64
+    q = rng.normal(size=(B, H, L, dh)).astype(np.float32)
+    k = rng.normal(size=(B, H, L, dh)).astype(np.float32)
+    v = rng.normal(size=(B, H, L, dh)).astype(np.float32)
+    expected = np.asarray(xla_attention(jnp.array(q), jnp.array(k), jnp.array(v)))
+    got = np.asarray(
+        fused_attention(jnp.array(q), jnp.array(k), jnp.array(v), interpret=True)
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
