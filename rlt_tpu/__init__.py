@@ -20,4 +20,16 @@ TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from rlt_tpu import config  # noqa: F401
+
+
+def enable_compilation_cache(path: str = "/tmp/rlt_tpu_jax_cache") -> None:
+    """Opt-in persistent XLA compilation cache (compiles of the big epoch
+    programs through the TPU tunnel take minutes; cached reruns take seconds)."""
+    import jax
+
+    _os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

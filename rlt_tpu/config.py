@@ -55,6 +55,11 @@ class TrainConfig:
     search_times: int = 300
     parameter_record: str = "./parameters.log"
 
+    # shape overrides (None -> derived from retrieve_data / model family,
+    # reference run.py:34, :60, :70, :86); set explicitly for tiny test shapes
+    seq_len_override: Optional[int] = None
+    input_size_override: Optional[int] = None
+
     # TPU execution
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16' matmul inputs
     use_pallas_attention: bool = True # fused attention kernel on TPU
@@ -64,16 +69,20 @@ class TrainConfig:
     @property
     def seq_len(self) -> int:
         # run.py:34
+        if self.seq_len_override is not None:
+            return self.seq_len_override
         return 300 if self.retrieve_data == "robust04" else 40
 
     @property
     def input_size(self) -> int:
         # run.py:60, :70, :86 — feature width per model family
+        if self.input_size_override is not None:
+            return self.input_size_override
         if self.retrieve_data == "robust04":
             return 1 if self.model_name in ("choopy", "mtchoopy") else 3
         if self.model_name in ("choopy", "mtchoopy"):
             return 25
-        if self.model_name in ("mmoecut", "moecut", "mtple"):
+        if self.model_name in ("mmoecut", "moecut", "mtple", "probe_base"):
             return 47
         return 25
 

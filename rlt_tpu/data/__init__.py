@@ -1,0 +1,17 @@
+"""Data substrate: pkl ingestion matching the reference loaders, a synthetic
+ranked-list generator with robust04-like statistics (the real pickles are
+gitignored in the reference, SURVEY §4), the offline feature pipeline, and
+jit-friendly device-resident batching."""
+
+from rlt_tpu.data.datasets import (  # noqa: F401
+    RankedListData,
+    dataset_feature_dim,
+    load_pkl_dataset,
+    synthetic_dataset,
+)
+from rlt_tpu.data.batching import DeviceDataset, epoch_permutation, num_batches  # noqa: F401
+from rlt_tpu.data.features import (  # noqa: F401
+    doc_stats,
+    neighbor_cosine_similarity,
+    tfidf_vectors,
+)

@@ -1,0 +1,85 @@
+"""Offline feature pipeline (reference data_prep/document_statics.ipynb).
+
+The reference builds, per ranked list position, statistical features: document
+length, unique-token length, and the mean cosine similarity between a document
+and its ranked-list neighbors under two representations (tf-idf and doc2vec) —
+cells 13, 19-29, 44-57, assembled at 72-79. Here the same features are
+vectorized numpy over precomputed document vectors; no gensim dependency:
+tf-idf comes from raw token counts, and any dense embedding matrix (doc2vec or
+otherwise) can be passed to `neighbor_cosine_similarity` directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def doc_stats(token_lists: list[list[str]]) -> np.ndarray:
+    """(len, unique len) per document (document_statics.ipynb cell 13)."""
+    return np.asarray(
+        [[len(toks), len(set(toks))] for toks in token_lists], dtype=np.float32
+    )
+
+
+def tfidf_vectors(token_lists: list[list[str]], vocab: dict[str, int] | None = None):
+    """Sparse-free tf-idf: (num_docs, vocab) dense float32 matrix.
+
+    Standard smoothed idf = log(N / df) as gensim's default; rows L2-normalized
+    so cosine similarity is a plain dot product.
+    """
+    if vocab is None:
+        vocab = {}
+        for toks in token_lists:
+            for tok in toks:
+                vocab.setdefault(tok, len(vocab))
+    n_docs, n_vocab = len(token_lists), len(vocab)
+    tf = np.zeros((n_docs, n_vocab), dtype=np.float32)
+    for i, toks in enumerate(token_lists):
+        for tok in toks:
+            j = vocab.get(tok)
+            if j is not None:
+                tf[i, j] += 1.0
+    df = np.count_nonzero(tf > 0, axis=0).astype(np.float32)
+    idf = np.log2(np.maximum(n_docs / np.maximum(df, 1.0), 1.0))
+    mat = tf * idf
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.maximum(norms, 1e-12), vocab
+
+
+def neighbor_cosine_similarity(doc_vectors: np.ndarray) -> np.ndarray:
+    """Mean cosine similarity of each ranked doc with its list neighbors.
+
+    doc_vectors: (L, D) vectors in ranked order (one query's list). Position i
+    averages cos(i, i-1) and cos(i, i+1); the endpoints use their single
+    neighbor — matching document_statics.ipynb cells 44-57. Returns (L,).
+    """
+    v = doc_vectors.astype(np.float32)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    v = v / np.maximum(norms, 1e-12)
+    sim_next = np.sum(v[:-1] * v[1:], axis=1)  # cos(i, i+1), length L-1
+    length = v.shape[0]
+    out = np.zeros((length,), dtype=np.float32)
+    out[0] = sim_next[0]
+    out[-1] = sim_next[-1]
+    if length > 2:
+        out[1:-1] = 0.5 * (sim_next[:-1] + sim_next[1:])
+    return out
+
+
+def build_stat_features(
+    token_lists_per_query: dict[str, list[list[str]]],
+    embeddings_per_query: dict[str, np.ndarray] | None = None,
+) -> dict[str, np.ndarray]:
+    """Assemble the attncut feature block per query: [doc_len, unique_len,
+    tfidf_neighbor_sim[, embedding_neighbor_sim]] (ipynb cells 72-79)."""
+    all_tokens = [t for toks in token_lists_per_query.values() for t in toks]
+    _, vocab = tfidf_vectors(all_tokens)
+    out = {}
+    for qid, toks in token_lists_per_query.items():
+        stats = doc_stats(toks)
+        tfidf, _ = tfidf_vectors(toks, vocab)
+        cols = [stats, neighbor_cosine_similarity(tfidf)[:, None]]
+        if embeddings_per_query is not None:
+            cols.append(neighbor_cosine_similarity(embeddings_per_query[qid])[:, None])
+        out[qid] = np.concatenate(cols, axis=1).astype(np.float32)
+    return out

@@ -1,0 +1,56 @@
+"""Mesh + sharding helpers for data-parallel truncation training.
+
+Workload analysis (SURVEY §5.8): models are a few M params, datasets are a few
+hundred queries — batch data parallelism is the only axis with payoff, so the
+framework ships a 1-D "data" mesh. Parameters are replicated; each chip holds
+a batch shard; XLA turns the jitted gradient computation into per-shard
+compute + one psum over ICI. No TP/PP/EP is warranted (the MMOE experts are
+dense-activated, not sparse-routed — reference models/MMOECut.py runs every
+expert for every input)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over the batch axis. Uses all visible devices by default."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (parameters, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_dataset(data, mesh: Mesh):
+    """Pad rows to a multiple of the mesh size and shard over 'data'.
+
+    Returns (sharded RankedListData-like tuple of arrays). Padding rows are
+    dropped by the batch plan's valid mask, so values are irrelevant."""
+    shard = batch_sharding(mesh)
+    n = mesh.devices.size
+
+    def pad_and_put(a):
+        a = np.asarray(a)
+        rem = (-a.shape[0]) % n
+        if rem:
+            a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
+        return jax.device_put(a, shard)
+
+    return pad_and_put
+
+
+def device_put_replicated(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

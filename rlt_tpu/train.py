@@ -1,0 +1,398 @@
+"""Training harness + CLI (reference run.py:26-372, rebuilt TPU-first).
+
+Where the reference runs a python step loop with per-step host<->device copies
+and CPU numpy metric decoding (run.py:120-146), here a whole epoch — every
+train batch plus the full test pass — is ONE jitted XLA program (`lax.scan`
+over a static batch plan, device-resident dataset, donated train state). The
+host sees one scalar pytree per epoch. Dispatch, hyper-parameters, decode
+rules, best/best-5 bookkeeping, model persistence, reward plots, and the
+random-search harness mirror the reference exactly (citations inline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from rlt_tpu import config as config_lib
+from rlt_tpu.data import DeviceDataset, RankedListData, epoch_permutation, load_pkl_dataset, synthetic_dataset
+from rlt_tpu.models import build_model
+from rlt_tpu.utils import losses as losses_lib
+from rlt_tpu.utils import metrics as metrics_lib
+from rlt_tpu.utils.logging import MetricsWriter
+from rlt_tpu.utils.checkpoint import load_params, save_params
+
+logger = logging.getLogger("rlt_tpu")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer: torch optim.Adam semantics (run.py:104) — L2 weight decay is
+# added to the gradient BEFORE the Adam moments (not decoupled AdamW).
+# ---------------------------------------------------------------------------
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    steps = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
+    steps += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-lr)]
+    return optax.chain(*steps)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Loss / decode dispatch (reference run.py:59-102, :131-142)
+# ---------------------------------------------------------------------------
+
+def make_criterion(cfg: config_lib.TrainConfig) -> Callable:
+    """criterion(output, labels, valid) -> scalar, per run.py's dispatch.
+
+    run.py:64 bicut -> BiCutLoss(metric=criterion); :68 choopy -> ChoopyLoss;
+    :74 attncut -> DivLoss(div_type, augmented); :79/:84 mtchoopy/mtattncut ->
+    MtCutLoss with the configured task weights; :90/:96/:102 mmoecut/moecut/
+    mtple -> MtCutLoss WITHOUT weights (torch defaults 0.5/0.5).
+    """
+    name, metric = cfg.model_name, cfg.criterion
+    if name == "bicut":
+        return functools.partial(losses_lib.bicut_loss, metric=metric)
+    if name == "choopy":
+        return functools.partial(losses_lib.choopy_loss, metric=metric)
+    if name == "attncut":
+        return functools.partial(
+            losses_lib.div_loss, metric=metric, div_type=cfg.div_type,
+            augmented=cfg.augmented_reward,
+        )
+    if name in ("mtchoopy", "mtattncut"):
+        return functools.partial(
+            losses_lib.mtcut_loss, metric=metric, rerank_weight=cfg.rerank_weight,
+            classi_weight=cfg.class_weight, num_tasks=cfg.num_tasks,
+        )
+    if name in ("mmoecut", "moecut", "mtple", "probe_base"):
+        return functools.partial(
+            losses_lib.mtcut_loss, metric=metric, rerank_weight=0.5,
+            classi_weight=0.5, num_tasks=cfg.num_tasks if name != "mtple" else 3,
+        )
+    raise ValueError(f"no criterion for model {name!r}")
+
+
+def decode_ks(model_name: str, output) -> jax.Array:
+    """Predicted cut per row (run.py:131-142): bicut's first-truncate rule;
+    multi-task models decode the LAST head; single-task the lone head."""
+    if model_name == "bicut":
+        return metrics_lib.decode_cut_bicut(output)
+    if "m" in model_name:
+        return metrics_lib.decode_cut(output[-1])
+    return metrics_lib.decode_cut(output)
+
+
+# ---------------------------------------------------------------------------
+# The jitted epoch program
+# ---------------------------------------------------------------------------
+
+def _batch_metrics(model_name, output, y, valid):
+    ks = decode_ks(model_name, output)
+    f1 = metrics_lib.f1_at_k(y, ks, valid=valid)
+    dcg = metrics_lib.dcg_at_k(y, ks, valid=valid)
+    return f1, dcg
+
+
+def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
+    """Returns jitted `epoch_fn(state, data, key) -> (state, metrics)` where
+    metrics = dict of epoch-mean train/test loss/F1/DCG (mean over batch means,
+    matching run.py:148-153/:190-195's accumulation)."""
+
+    model_name = cfg.model_name
+
+    def loss_fn(params, x, y, valid, dropout_rng):
+        output = model.apply(
+            {"params": params}, x, deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        return criterion(output, y, valid=valid), output
+
+    def train_step(state: TrainState, batch):
+        idx, valid = batch["idx"], batch["valid"]
+        x = batch["x"][idx]
+        y = batch["y"][idx]
+        rng, dropout_rng = jax.random.split(state.rng)
+        (loss, output), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, x, y, valid, dropout_rng
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # decode/metrics on the PRE-update forward, as the reference does
+        f1, dcg = _batch_metrics(model_name, output, y, valid)
+        return TrainState(params, opt_state, rng), (loss, f1, dcg)
+
+    def eval_step(params, batch):
+        idx, valid = batch["idx"], batch["valid"]
+        x = batch["x"][idx]
+        y = batch["y"][idx]
+        output = model.apply({"params": params}, x, deterministic=True)
+        loss = criterion(output, y, valid=valid)
+        f1, dcg = _batch_metrics(model_name, output, y, valid)
+        return loss, f1, dcg
+
+    def epoch_fn(state: TrainState, data: DeviceDataset, key: jax.Array):
+        tr_key, te_key = jax.random.split(key)
+        tr_idx, tr_valid = epoch_permutation(tr_key, data.n_train, data.batch_size)
+        te_idx, te_valid = epoch_permutation(te_key, data.n_test, data.batch_size)
+
+        def tr_body(st, b):
+            st, out = train_step(st, {"idx": b[0], "valid": b[1],
+                                      "x": data.x_train, "y": data.y_train})
+            return st, out
+
+        state, (tl, tf1, tdcg) = jax.lax.scan(tr_body, state, (tr_idx, tr_valid))
+
+        def te_body(_, b):
+            return None, eval_step(state.params, {"idx": b[0], "valid": b[1],
+                                                  "x": data.x_test, "y": data.y_test})
+
+        _, (el, ef1, edcg) = jax.lax.scan(te_body, None, (te_idx, te_valid))
+
+        metrics = {
+            "train_loss": jnp.mean(tl), "train_f1": jnp.mean(tf1),
+            "train_dcg": jnp.mean(tdcg),
+            "test_loss": jnp.mean(el), "test_f1": jnp.mean(ef1),
+            "test_dcg": jnp.mean(edcg),
+        }
+        return state, metrics
+
+    return jax.jit(epoch_fn, static_argnames=(), donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Trainer (reference Trainer, run.py:26-240)
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    def __init__(self, cfg: config_lib.TrainConfig, data: RankedListData | None = None,
+                 sharding=None):
+        self.cfg = cfg
+        self.model_name = cfg.model_name
+        family = (
+            "choopy" if cfg.model_name in ("choopy", "mtchoopy")
+            else "mtcut" if cfg.retrieve_data != "robust04"
+            and cfg.model_name in ("mmoecut", "moecut", "mtple", "probe_base")
+            else "attncut"
+        )
+        if data is None:
+            if cfg.dataset_base:
+                data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
+                                        cfg.dataset_name, family)
+            else:
+                from rlt_tpu.data.datasets import synthetic_quality
+
+                data = synthetic_dataset(
+                    num_queries=cfg.synthetic_queries, seq_len=cfg.seq_len,
+                    num_features=cfg.input_size, seed=cfg.seed,
+                    retrieval_quality=synthetic_quality(cfg.dataset_name),
+                )
+        self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
+
+        self.model = build_model(
+            cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
+            dropout=cfg.dropout, num_tasks=cfg.num_tasks,
+            use_pallas=cfg.use_pallas_attention,
+        )
+        self.criterion = make_criterion(cfg)
+        self.optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+
+        root = jax.random.PRNGKey(cfg.seed)
+        pkey, dkey, self.epoch_key = jax.random.split(root, 3)
+        sample = jnp.zeros((1, cfg.seq_len, cfg.input_size), jnp.float32)
+        params = self.model.init({"params": pkey, "dropout": dkey}, sample)["params"]
+        if cfg.model_path:
+            loaded = load_params(cfg.model_path)
+            if loaded is not None:
+                params = loaded
+                logger.info("loaded params from %s", cfg.model_path)
+        self.state = TrainState(params, self.optimizer.init(params), dkey)
+
+        self.epoch_fn = build_epoch_fn(self.model, self.criterion, self.optimizer, cfg)
+        self.writer = MetricsWriter(cfg.log_dir, run_name=cfg.model_name)
+
+        # evaluation bookkeeping (run.py:54-57)
+        self.best_test_f1 = -float("inf")
+        self.best_test_dcg = -float("inf")
+        self.f1_record: list[float] = []
+        self.dcg_record: list[float] = []
+
+    def run(self) -> dict:
+        """Epoch loop with best / best-5 tracking (run.py:222-232)."""
+        cfg = self.cfg
+        logger.info("Train the %s model", self.model_name)
+        for epoch in range(cfg.epochs):
+            start = time.time()
+            self.epoch_key, sub = jax.random.split(self.epoch_key)
+            self.state, metrics = self.epoch_fn(self.state, self.data, sub)
+            metrics = jax.device_get(metrics)
+            self.writer.log(epoch, metrics)
+
+            test_f1 = float(metrics["test_f1"])
+            test_dcg = float(metrics["test_dcg"])
+            self.f1_record.append(test_f1)
+            self.dcg_record.append(test_dcg)
+            if test_f1 > self.best_test_f1:
+                self.best_test_f1 = test_f1
+                if cfg.model_persist:
+                    save_params(f"{cfg.save_path}/{self.model_name}", self.state.params)
+            self.best_test_dcg = max(self.best_test_dcg, test_dcg)
+
+            if cfg.draw and epoch % 2 == 0:
+                self._draw(epoch)
+            logger.info(
+                "Epoch %d (%.2fs): train loss=%.5f f1=%.5f dcg=%.5f | "
+                "test loss=%.5f f1=%.5f dcg=%.5f",
+                epoch, time.time() - start,
+                metrics["train_loss"], metrics["train_f1"], metrics["train_dcg"],
+                metrics["test_loss"], metrics["test_f1"], metrics["test_dcg"],
+            )
+
+        best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
+        best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
+        logger.info("best: f1=%.7f dcg=%.6f | best-5: f1=%.7f dcg=%.6f",
+                    self.best_test_f1, self.best_test_dcg, best5_f1, best5_dcg)
+        summary = {
+            "best_f1": self.best_test_f1, "best_dcg": self.best_test_dcg,
+            "best5_f1": best5_f1, "best5_dcg": best5_dcg,
+        }
+        self.writer.log_summary(summary)
+        return summary
+
+    def _draw(self, epoch: int) -> None:
+        from rlt_tpu.utils.plots import plot_reward_vs_prediction
+
+        params = self.state.params
+        x, y = self.data.x_test, self.data.y_test
+        output = self.model.apply({"params": params}, x, deterministic=True)
+        cut = output[-1] if "m" in self.model_name else output
+        plot_reward_vs_prediction(
+            np.asarray(y), np.asarray(cut[..., 0] if cut.ndim == 3 else cut),
+            metric=self.cfg.criterion, epoch=epoch,
+            model_name=self.model_name, div_type=self.cfg.div_type,
+            aug_reward=self.cfg.augmented_reward,
+        )
+
+
+# ---------------------------------------------------------------------------
+# CLI + hyper-parameter search (reference main(), run.py:301-372)
+# ---------------------------------------------------------------------------
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rlt_tpu truncation model trainer")
+    d = config_lib.TrainConfig()
+    p.add_argument("--retrieve-data", type=str, default=d.retrieve_data)
+    p.add_argument("--dataset-name", type=str, default=d.dataset_name)
+    p.add_argument("--dataset-base", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=d.batch_size)
+    p.add_argument("--model-name", type=str, default=d.model_name)
+    p.add_argument("--augmented-reward", type=int, default=1)
+    p.add_argument("--div-type", type=str, default=d.div_type)
+    p.add_argument("--criterion", type=str, default=d.criterion)
+    p.add_argument("--model-path", type=str, default=None)
+    p.add_argument("--model-persist", type=int, default=0)
+    p.add_argument("--save-path", type=str, default=d.save_path)
+    p.add_argument("--log-dir", type=str, default=d.log_dir)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--draw", type=int, default=0)
+    p.add_argument("--weight-decay", type=float, default=d.weight_decay)
+    p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--parameter-record", type=str, default=d.parameter_record)
+    p.add_argument("--parameter-search", type=int, default=0)
+    p.add_argument("--regularizer-search", type=int, default=0)
+    p.add_argument("--mt-search", type=int, default=0)
+    p.add_argument("--search-times", type=int, default=d.search_times)
+    p.add_argument("--num-tasks", type=float, default=3)
+    p.add_argument("--rerank-weight", type=float, default=d.rerank_weight)
+    p.add_argument("--class-weight", type=float, default=d.class_weight)
+    p.add_argument("--no-preset", action="store_true",
+                   help="skip the built-in hyper-parameter presets")
+    p.add_argument("--conf-file", type=str, default=None,
+                   help="reference-format hyper_parameter_*.conf to apply")
+    return p
+
+
+def config_from_args(args) -> config_lib.TrainConfig:
+    cfg = config_lib.TrainConfig(
+        retrieve_data=args.retrieve_data, dataset_name=args.dataset_name,
+        dataset_base=args.dataset_base, batch_size=args.batch_size,
+        model_name=args.model_name, num_tasks=args.num_tasks,
+        dropout=args.dropout, criterion=args.criterion, div_type=args.div_type,
+        augmented_reward=bool(args.augmented_reward),
+        rerank_weight=args.rerank_weight, class_weight=args.class_weight,
+        epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
+        seed=args.seed, model_path=args.model_path,
+        model_persist=bool(args.model_persist), save_path=args.save_path,
+        log_dir=args.log_dir, draw=bool(args.draw),
+        parameter_search=bool(args.parameter_search),
+        regularizer_search=bool(args.regularizer_search),
+        mt_search=bool(args.mt_search), search_times=args.search_times,
+        parameter_record=args.parameter_record,
+    )
+    # config-file override chain (run.py:339-347)
+    if args.conf_file:
+        cfg = config_lib.load_conf_file(cfg, args.conf_file)
+    elif not args.no_preset:
+        cfg = config_lib.apply_preset(cfg)
+    return cfg
+
+
+def parameter_search(cfg: config_lib.TrainConfig) -> None:
+    """Random/logspace hyper-parameter search (run.py:349-364)."""
+    rng = np.random.default_rng(cfg.seed)
+    task_weight_range = np.logspace(-2, 1, num=250, base=10)
+    record = (
+        f"{cfg.model_name}_{cfg.retrieve_data}_{cfg.dataset_name}_"
+        f"{cfg.criterion}_params.log"
+    )
+    for i in range(cfg.search_times):
+        trial = cfg
+        if cfg.regularizer_search:
+            trial = dataclasses.replace(
+                trial, dropout=float(rng.uniform(0.05, 0.5)),
+                weight_decay=float(rng.uniform(0.001, 0.02)),
+            )
+        elif cfg.mt_search:
+            rw = float(rng.uniform(0.01, 10)) if i >= 50 else float(task_weight_range[i])
+            cw = float(rng.uniform(0.01, 10)) if i >= 50 else float(task_weight_range[i])
+            trial = dataclasses.replace(trial, rerank_weight=rw, class_weight=cw)
+        logger.info("search trial %d: %s", i, trial)
+        result = Trainer(trial).run()
+        line = (
+            f"dropout: {trial.dropout}, L2_weight: {trial.weight_decay}, "
+            f"rerank_weight: {trial.rerank_weight}, class_weight: {trial.class_weight}, "
+            f"best_f1: {result['best_f1']}, best_dcg: {result['best_dcg']}"
+        )
+        with open(record, "a+") as f:
+            f.write("\n" + line)
+
+
+def main(argv=None) -> dict | None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    logger.info("%s", cfg)
+    if cfg.parameter_search:
+        parameter_search(cfg)
+        return None
+    return Trainer(cfg).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Data substrate tests: synthetic stats, pkl ingestion (reference loader
+format, attncut_dataloader.py:21-59), features, batching."""
+
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from rlt_tpu.data import (
+    RankedListData,
+    epoch_permutation,
+    load_pkl_dataset,
+    synthetic_dataset,
+)
+from rlt_tpu.data.features import (
+    doc_stats,
+    neighbor_cosine_similarity,
+    tfidf_vectors,
+)
+
+
+def test_synthetic_shapes_and_stats():
+    data = synthetic_dataset(num_queries=100, seq_len=300, num_features=3, seed=0)
+    assert data.x_train.shape == (80, 300, 3)
+    assert data.y_train.shape == (80, 300)
+    assert data.x_test.shape == (20, 300, 3)
+    assert set(np.unique(data.y_train)) <= {0.0, 1.0}
+    # robust04-like: tens of relevant docs per query, top-heavy
+    per_query = data.y_train.sum(axis=1)
+    assert 20 < per_query.mean() < 80
+    top_half = data.y_train[:, :150].sum()
+    assert top_half > 0.55 * data.y_train.sum()
+
+
+def test_synthetic_deterministic():
+    a = synthetic_dataset(num_queries=20, seed=7)
+    b = synthetic_dataset(num_queries=20, seed=7)
+    np.testing.assert_array_equal(a.x_train, b.x_train)
+    c = synthetic_dataset(num_queries=20, seed=8)
+    assert not np.array_equal(a.x_train, c.x_train)
+
+
+def _write_reference_format_pkls(base, retrieve="robust04", name="bm25",
+                                 n_q=6, seq_len=10, n_stats=2):
+    """Tiny dataset in the exact reference on-disk layout."""
+    rng = np.random.default_rng(0)
+    db = os.path.join(base, retrieve)
+    os.makedirs(os.path.join(db, "attncut"), exist_ok=True)
+    os.makedirs(os.path.join(db, "mtcut"), exist_ok=True)
+    gt, splits = {}, {}
+    for split in ("train", "test"):
+        scores, stats = {}, {}
+        for qi in range(n_q):
+            qid = f"{split}{qi}"
+            docs = [f"{qid}_d{j}" for j in range(seq_len)]
+            scores[qid] = dict(zip(docs, np.sort(rng.random(seq_len))[::-1].tolist()))
+            stats[qid] = rng.random((seq_len, n_stats)).tolist()
+            gt[qid] = [d for d in docs if rng.random() < 0.3]
+        splits[split] = (scores, stats)
+        with open(os.path.join(db, f"{name}_{split}.pkl"), "wb") as f:
+            pickle.dump(scores, f)
+        for sub in ("attncut", "mtcut"):
+            with open(os.path.join(db, sub, f"{name}_{split}.pkl"), "wb") as f:
+                pickle.dump(stats, f)
+    with open(os.path.join(db, "gt.pkl"), "wb") as f:
+        pickle.dump(gt, f)
+    return splits, gt
+
+
+def test_pkl_ingestion_matches_reference_join(tmp_path):
+    base = str(tmp_path)
+    splits, gt = _write_reference_format_pkls(base)
+    data = load_pkl_dataset(base, "robust04", "bm25", family="attncut")
+    assert data.x_train.shape == (6, 10, 3)  # score + 2 stats
+    scores, stats = splits["train"]
+    qid0 = list(scores.keys())[0]
+    np.testing.assert_allclose(
+        data.x_train[0, :, 0], np.asarray(list(scores[qid0].values())), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        data.x_train[0, :, 1:], np.asarray(stats[qid0]), rtol=1e-6
+    )
+    rel = set(gt[qid0])
+    expected_y = [1.0 if d in rel else 0.0 for d in scores[qid0]]
+    np.testing.assert_array_equal(data.y_train[0], expected_y)
+
+
+def test_pkl_ingestion_choopy_scores_only(tmp_path):
+    base = str(tmp_path)
+    _write_reference_format_pkls(base)
+    data = load_pkl_dataset(base, "robust04", "bm25", family="choopy")
+    assert data.x_train.shape == (6, 10, 1)
+
+
+def test_epoch_permutation_covers_all_rows():
+    key = jax.random.PRNGKey(0)
+    idx, valid = epoch_permutation(key, n=10, batch_size=4)
+    assert idx.shape == (3, 4) and valid.shape == (3, 4)
+    real = np.asarray(idx)[np.asarray(valid) == 1.0]
+    assert sorted(real.tolist()) == list(range(10))
+    assert float(np.asarray(valid).sum()) == 10.0
+
+
+def test_epoch_permutation_exact_batches():
+    idx, valid = epoch_permutation(jax.random.PRNGKey(1), n=8, batch_size=4)
+    assert idx.shape == (2, 4)
+    assert float(np.asarray(valid).min()) == 1.0
+
+
+def test_neighbor_cosine_similarity_hand_example():
+    # orthogonal vectors -> similarity 0; identical -> 1
+    v = np.eye(3, dtype=np.float32)
+    out = neighbor_cosine_similarity(v)
+    np.testing.assert_allclose(out, [0.0, 0.0, 0.0], atol=1e-6)
+    v2 = np.ones((4, 2), dtype=np.float32)
+    np.testing.assert_allclose(neighbor_cosine_similarity(v2), 1.0, atol=1e-6)
+
+
+def test_doc_stats_and_tfidf():
+    toks = [["a", "b", "a"], ["b", "c", "d"]]
+    stats = doc_stats(toks)
+    np.testing.assert_array_equal(stats, [[3, 2], [3, 3]])
+    mat, vocab = tfidf_vectors(toks)
+    assert mat.shape == (2, 4)
+    norms = np.linalg.norm(mat, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, atol=1e-5)

@@ -1,0 +1,66 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from rlt_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
+
+
+def cpu_devices():
+    try:
+        return jax.devices("cpu")
+    except RuntimeError:
+        return []
+
+
+needs_multi_cpu = pytest.mark.skipif(
+    len(cpu_devices()) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+@needs_multi_cpu
+def test_mesh_and_shardings():
+    mesh = data_parallel_mesh(8, devices=cpu_devices()[:8])
+    assert mesh.devices.size == 8
+    x = np.zeros((16, 4), np.float32)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert xs.sharding.is_equivalent_to(batch_sharding(mesh), ndim=2)
+    p = jax.device_put(np.zeros((3,), np.float32), replicated(mesh))
+    assert p.sharding.is_fully_replicated
+
+
+@needs_multi_cpu
+def test_dryrun_multichip_full_train_step():
+    import __graft_entry__ as ge
+
+    # route the dryrun onto the CPU mesh explicitly
+    old = jax.config.jax_default_device
+    try:
+        jax.config.update("jax_default_device", cpu_devices()[0])
+        from rlt_tpu.parallel import mesh as mesh_lib
+
+        orig = mesh_lib.data_parallel_mesh
+
+        def cpu_mesh(n_devices=None, devices=None):
+            return orig(n_devices, devices=cpu_devices()[: (n_devices or 8)])
+
+        mesh_lib.data_parallel_mesh = cpu_mesh
+        try:
+            ge.dryrun_multichip(8)
+        finally:
+            mesh_lib.data_parallel_mesh = orig
+    finally:
+        jax.config.update("jax_default_device", old)
+
+
+def test_entry_forward_compiles():
+    import __graft_entry__ as ge
+
+    fn, (params, x) = ge.entry()
+    out = jax.jit(fn)(params, x)
+    assert len(out) == 3  # [class, rerank, cut]
+    assert out[-1].shape == (63, 300, 1)
+    np.testing.assert_allclose(
+        np.asarray(out[-1]).sum(axis=1), 1.0, atol=1e-4
+    )  # cut head is a distribution over positions
