@@ -1,0 +1,121 @@
+"""Offline dataset preparation (reference data_prep/*.ipynb as a library).
+
+The reference prepares datasets in notebooks: parse retrieval runs into
+per-query top-L ranked lists (data_prepare.ipynb cells 13-16, 34-45), build
+the ground-truth relevance map (cells 49-50), compute per-document statistical
+features (document_statics.ipynb), and write 5-fold 80/20 train/test splits
+(cells 12, 16, 45, 64-65). Here the same pipeline is pure functions over
+in-memory structures, with `write_reference_layout` emitting the exact pkl
+layout the reference loaders (and ours) read.
+
+Semantics preserved (SURVEY §2.5): queries with fewer than `seq_len` retrieved
+docs are DROPPED (not padded); queries with zero relevant docs in the top-L
+are dropped; splits are random 80/20 with one seed per fold.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+
+def ranked_lists_from_run(run: dict[str, dict[str, float]], seq_len: int = 300):
+    """run: qid -> {doc_id: score} (any order) -> qid -> ordered dict of the
+    top-seq_len docs by descending score. Queries with < seq_len docs are
+    dropped (data_prepare.ipynb cells 14, 43, 63)."""
+    out = {}
+    for qid, doc_scores in run.items():
+        if len(doc_scores) < seq_len:
+            continue
+        ranked = sorted(doc_scores.items(), key=lambda kv: -kv[1])[:seq_len]
+        out[qid] = dict(ranked)
+    return out
+
+
+def filter_queries_with_relevance(ranked: dict, gt: dict[str, set]) -> dict:
+    """Drop queries whose top-L list contains no relevant doc
+    (data_prepare.ipynb cells 15, 44)."""
+    out = {}
+    for qid, docs in ranked.items():
+        rel = gt.get(qid, set())
+        if any(d in rel for d in docs):
+            out[qid] = docs
+    return out
+
+
+def split_dataset(qids: list[str], train_fraction: float = 0.8, seed: int = 0):
+    """One 80/20 random split (data_prepare.ipynb cell 12)."""
+    rng = np.random.default_rng(seed)
+    qids = list(qids)
+    perm = rng.permutation(len(qids))
+    n_train = int(round(train_fraction * len(qids)))
+    train = [qids[i] for i in perm[:n_train]]
+    test = [qids[i] for i in perm[n_train:]]
+    return train, test
+
+
+def five_fold_splits(qids: list[str], train_fraction: float = 0.8):
+    """split_1..split_5 with distinct seeds (data_prepare.ipynb cells 16, 45,
+    64-65)."""
+    return {f"split_{i + 1}": split_dataset(qids, train_fraction, seed=i)
+            for i in range(5)}
+
+
+def write_reference_layout(
+    base: str,
+    retrieve_data: str,
+    dataset_name: str,
+    ranked: dict[str, dict[str, float]],
+    gt: dict[str, set],
+    stats: dict[str, np.ndarray] | None = None,
+    train_fraction: float = 0.8,
+    seed: int = 0,
+) -> None:
+    """Write <base>/<retrieve_data>/{<ds>_train,<ds>_test,gt}.pkl (+
+    attncut/ and mtcut/ stat pkls) in the exact layout the loaders read
+    (attncut_dataloader.py:30-40)."""
+    db = os.path.join(base, retrieve_data)
+    os.makedirs(db, exist_ok=True)
+    train_q, test_q = split_dataset(list(ranked), train_fraction, seed)
+
+    def dump(obj, *parts):
+        path = os.path.join(db, *parts)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+
+    dump({q: ranked[q] for q in train_q}, f"{dataset_name}_train.pkl")
+    dump({q: ranked[q] for q in test_q}, f"{dataset_name}_test.pkl")
+    dump({q: sorted(gt.get(q, set())) for q in ranked}, "gt.pkl")
+    if stats is not None:
+        for sub in ("attncut", "mtcut"):
+            dump({q: np.asarray(stats[q]).tolist() for q in train_q},
+                 sub, f"{dataset_name}_train.pkl")
+            dump({q: np.asarray(stats[q]).tolist() for q in test_q},
+                 sub, f"{dataset_name}_test.pkl")
+
+
+def prepare_dataset(
+    run: dict[str, dict[str, float]],
+    relevant: dict[str, set],
+    token_lists: dict[str, list[list[str]]] | None = None,
+    embeddings: dict[str, np.ndarray] | None = None,
+    seq_len: int = 300,
+):
+    """Full pipeline: rank -> drop short/irrelevant queries -> stat features.
+
+    Returns (ranked, gt, stats|None) ready for write_reference_layout."""
+    from rlt_tpu.data.features import build_stat_features
+
+    ranked = ranked_lists_from_run(run, seq_len)
+    ranked = filter_queries_with_relevance(ranked, relevant)
+    stats = None
+    if token_lists is not None:
+        stats = build_stat_features(
+            {q: token_lists[q] for q in ranked},
+            {q: embeddings[q] for q in ranked} if embeddings else None,
+        )
+    gt = {q: set(relevant.get(q, set())) for q in ranked}
+    return ranked, gt, stats

@@ -183,6 +183,12 @@ class Trainer:
                  sharding=None):
         self.cfg = cfg
         self.model_name = cfg.model_name
+        self.mesh = None
+        if cfg.data_parallel and sharding is None:
+            from rlt_tpu.parallel import batch_sharding, data_parallel_mesh
+
+            self.mesh = data_parallel_mesh()
+            sharding = batch_sharding(self.mesh)
         family = (
             "choopy" if cfg.model_name in ("choopy", "mtchoopy")
             else "mtcut" if cfg.retrieve_data != "robust04"
@@ -221,6 +227,10 @@ class Trainer:
                 params = loaded
                 logger.info("loaded params from %s", cfg.model_path)
         self.state = TrainState(params, self.optimizer.init(params), dkey)
+        if self.mesh is not None:
+            from rlt_tpu.parallel import replicated
+
+            self.state = jax.device_put(self.state, replicated(self.mesh))
 
         self.epoch_fn = build_epoch_fn(self.model, self.criterion, self.optimizer, cfg)
         self.writer = MetricsWriter(cfg.log_dir, run_name=cfg.model_name)

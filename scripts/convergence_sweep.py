@@ -1,0 +1,51 @@
+"""Train every model to convergence on the calibrated synthetic drmm_tks-like
+dataset and record best / best-5 F1 and DCG (the reference's headline table,
+BASELINE.md). Writes results to RESULTS.json.
+
+Usage: python scripts/convergence_sweep.py [--epochs 100] [--models a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import rlt_tpu
+
+rlt_tpu.enable_compilation_cache()
+
+from rlt_tpu import config as config_lib  # noqa: E402
+from rlt_tpu.train import Trainer  # noqa: E402
+
+ALL_MODELS = ["bicut", "choopy", "attncut", "mtchoopy", "mtattncut",
+              "mmoecut", "moecut", "mtple"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--models", type=str, default=",".join(ALL_MODELS))
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="RESULTS.json")
+    args = p.parse_args()
+
+    results = {}
+    for name in args.models.split(","):
+        cfg = config_lib.TrainConfig(
+            model_name=name, dataset_name="drmm_tks", epochs=args.epochs,
+            seed=args.seed, use_pallas_attention=False,
+            log_dir="/tmp/rlt_tpu_sweep_runs",
+        )
+        cfg = config_lib.apply_preset(cfg)
+        start = time.time()
+        summary = Trainer(cfg).run()
+        summary["wall_s"] = round(time.time() - start, 1)
+        results[name] = summary
+        print(name, json.dumps(summary))
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

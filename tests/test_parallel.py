@@ -64,3 +64,23 @@ def test_entry_forward_compiles():
     np.testing.assert_allclose(
         np.asarray(out[-1]).sum(axis=1), 1.0, atol=1e-4
     )  # cut head is a distribution over positions
+
+
+@needs_multi_cpu
+def test_trainer_data_parallel_on_cpu_mesh():
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.parallel import batch_sharding, data_parallel_mesh
+    from rlt_tpu.train import Trainer
+
+    mesh = data_parallel_mesh(8, devices=cpu_devices()[:8])
+    cfg = TrainConfig(
+        model_name="attncut", seq_len_override=16, input_size_override=3,
+        synthetic_queries=40, batch_size=16, epochs=2,
+        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+    )
+    data = synthetic_dataset(num_queries=40, seq_len=16, num_features=3,
+                             mean_relevant=4.0, seed=0)
+    trainer = Trainer(cfg, data=data, sharding=batch_sharding(mesh))
+    summary = trainer.run()
+    assert np.isfinite(summary["best_f1"])

@@ -1,0 +1,101 @@
+"""Tests for the offline prep pipeline (§2.6) and the analysis toolkit (§2.7)."""
+
+import numpy as np
+
+from rlt_tpu.analysis import (
+    augmented_reward_transform,
+    irrelevant_proportion_curve,
+    mean_reward_curve,
+    probing_convergence,
+)
+from rlt_tpu.data import load_pkl_dataset
+from rlt_tpu.data.prep import (
+    filter_queries_with_relevance,
+    five_fold_splits,
+    prepare_dataset,
+    ranked_lists_from_run,
+    split_dataset,
+    write_reference_layout,
+)
+from rlt_tpu.utils.batchnorm import batch_norm
+
+
+def _toy_run(n_q=8, n_docs=12):
+    rng = np.random.default_rng(0)
+    run, rel = {}, {}
+    for qi in range(n_q):
+        qid = f"q{qi}"
+        docs = {f"{qid}_d{j}": float(rng.random()) for j in range(n_docs)}
+        run[qid] = docs
+        rel[qid] = {d for d in docs if rng.random() < 0.4}
+    return run, rel
+
+
+def test_ranked_lists_sorted_and_truncated():
+    run, _ = _toy_run()
+    ranked = ranked_lists_from_run(run, seq_len=10)
+    for qid, docs in ranked.items():
+        scores = list(docs.values())
+        assert len(scores) == 10
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_short_and_irrelevant_queries_dropped():
+    run, rel = _toy_run()
+    run["short"] = {"d0": 1.0}  # < seq_len -> dropped
+    rel["short"] = {"d0"}
+    ranked = ranked_lists_from_run(run, seq_len=10)
+    assert "short" not in ranked
+    rel["q0"] = set()  # no relevant docs -> dropped
+    kept = filter_queries_with_relevance(ranked, {k: set(v) for k, v in rel.items()})
+    assert "q0" not in kept
+
+
+def test_splits_disjoint_and_seeded():
+    qids = [f"q{i}" for i in range(10)]
+    tr, te = split_dataset(qids, 0.8, seed=0)
+    assert len(tr) == 8 and len(te) == 2
+    assert set(tr) | set(te) == set(qids) and not set(tr) & set(te)
+    folds = five_fold_splits(qids)
+    assert len(folds) == 5
+    assert folds["split_1"] != folds["split_2"]
+
+
+def test_end_to_end_prep_roundtrip(tmp_path):
+    run, rel = _toy_run(n_q=10, n_docs=10)
+    ranked, gt, _ = prepare_dataset(run, rel, seq_len=10)
+    write_reference_layout(str(tmp_path), "robust04", "bm25", ranked, gt)
+    data = load_pkl_dataset(str(tmp_path), "robust04", "bm25", family="choopy")
+    assert data.x_train.shape[1:] == (10, 1)
+    assert data.x_train.shape[0] + data.x_test.shape[0] == len(ranked)
+
+
+def test_reward_and_bias_curves():
+    labels = np.asarray([[1, 1, 0, 0], [1, 0, 0, 0]], np.float32)
+    f1 = mean_reward_curve(labels, "f1")
+    assert f1.shape == (4,)
+    bias = irrelevant_proportion_curve(labels)
+    assert bias[0] == 0.0  # both first docs relevant
+    assert bias[-1] == np.mean([2 / 4, 3 / 4])
+
+
+def test_augmented_reward_is_distribution():
+    r = np.asarray([[0.1, 0.5, 0.9]])
+    q = augmented_reward_transform(r, tau=0.35)
+    np.testing.assert_allclose(q.sum(axis=-1), 1.0, atol=1e-9)
+    assert q[0, 2] > q[0, 0]  # sharpened toward the max
+
+
+def test_probing_convergence_summary():
+    curves = np.random.default_rng(0).random((2, 3, 6))
+    out = probing_convergence(curves)
+    assert len(out) == 6
+    for v in out.values():
+        assert v["best"] >= v["final"] - 1e-12
+
+
+def test_batch_norm_normalizes_channels():
+    x = np.random.default_rng(0).normal(3.0, 2.0, (8, 5, 3)).astype(np.float32)
+    z = np.asarray(batch_norm(x))
+    np.testing.assert_allclose(z.mean(axis=(0, 1)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(z.std(axis=(0, 1)), 1.0, atol=1e-3)
