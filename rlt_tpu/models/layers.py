@@ -84,7 +84,14 @@ class TorchLinear(nn.Module):
 # LSTM (torch nn.LSTM semantics: stacked, bidirectional, batch_first)
 # ---------------------------------------------------------------------------
 
-def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int = 8):
+def _default_unroll() -> int:
+    """Scan unroll: 8 on TPU (amortizes per-step overhead, the MXU eats the
+    inlined matmuls); 1 on CPU, where XLA's compile time explodes with the
+    inlined scan body (a full-shape model took >30 min to compile at unroll=8)."""
+    return 8 if jax.default_backend() in ("tpu", "axon") else 1
+
+
+def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int | None = None):
     """Single-direction LSTM over (B, L, F) -> (B, L, H).
 
     The input projection for every timestep is one (B*L, F) @ (F, 4H) matmul
@@ -116,7 +123,8 @@ def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int = 8):
         jnp.zeros((batch, hidden), x.dtype),
         jnp.zeros((batch, hidden), x.dtype),
     )
-    _, ys = jax.lax.scan(step, init, xw, unroll=unroll)
+    _, ys = jax.lax.scan(step, init, xw,
+                         unroll=_default_unroll() if unroll is None else unroll)
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)  # (B, L, H)

@@ -209,10 +209,13 @@ class Trainer:
                 )
         self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
 
+        # the Pallas kernel only compiles on TPU ('axon' = tunneled TPU here);
+        # CPU runs use the XLA attention path
+        use_pallas = cfg.use_pallas_attention and jax.default_backend() in ("tpu", "axon")
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
             dropout=cfg.dropout, num_tasks=cfg.num_tasks,
-            use_pallas=cfg.use_pallas_attention,
+            use_pallas=use_pallas,
         )
         self.criterion = make_criterion(cfg)
         self.optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
@@ -241,11 +244,18 @@ class Trainer:
         self.f1_record: list[float] = []
         self.dcg_record: list[float] = []
 
-    def run(self) -> dict:
-        """Epoch loop with best / best-5 tracking (run.py:222-232)."""
+    def run(self, profile_dir: str | None = None) -> dict:
+        """Epoch loop with best / best-5 tracking (run.py:222-232).
+
+        profile_dir: when set, epochs 1-3 are captured with jax.profiler
+        (the reference has no tracing at all, SURVEY §5.1)."""
         cfg = self.cfg
         logger.info("Train the %s model", self.model_name)
         for epoch in range(cfg.epochs):
+            if profile_dir is not None and epoch == 1:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir is not None and epoch == 4:
+                jax.profiler.stop_trace()
             start = time.time()
             self.epoch_key, sub = jax.random.split(self.epoch_key)
             self.state, metrics = self.epoch_fn(self.state, self.data, sub)
@@ -272,6 +282,8 @@ class Trainer:
                 metrics["test_loss"], metrics["test_f1"], metrics["test_dcg"],
             )
 
+        if profile_dir is not None and 2 <= cfg.epochs <= 4:
+            jax.profiler.stop_trace()
         best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
         best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
         logger.info("best: f1=%.7f dcg=%.6f | best-5: f1=%.7f dcg=%.6f",
@@ -333,6 +345,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--class-weight", type=float, default=d.class_weight)
     p.add_argument("--no-preset", action="store_true",
                    help="skip the built-in hyper-parameter presets")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler trace of epochs 1-3 here")
     p.add_argument("--conf-file", type=str, default=None,
                    help="reference-format hyper_parameter_*.conf to apply")
     return p
@@ -401,7 +415,7 @@ def main(argv=None) -> dict | None:
     if cfg.parameter_search:
         parameter_search(cfg)
         return None
-    return Trainer(cfg).run()
+    return Trainer(cfg).run(profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -57,9 +57,10 @@ class ProbeTrainer:
                                          retrieval_quality=synthetic_quality(cfg.dataset_name))
         self.data = DeviceDataset.from_host(data, cfg.batch_size)
 
+        use_pallas = cfg.use_pallas_attention and jax.default_backend() in ("tpu", "axon")
         self.base = ProbeBase(seq_len=cfg.seq_len, num_tasks=cfg.num_tasks,
                               input_size=cfg.input_size, dropout=cfg.dropout,
-                              num_experts=2, use_pallas=cfg.use_pallas_attention)
+                              num_experts=2, use_pallas=use_pallas)
         self.probe = Probe()
         self.criterion_base = lambda out, y, valid=None: losses_lib.mtcut_loss(
             out, y, metric=cfg.criterion, rerank_weight=0.5, classi_weight=0.5,

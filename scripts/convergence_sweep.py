@@ -42,7 +42,7 @@ def main():
         summary = Trainer(cfg).run()
         summary["wall_s"] = round(time.time() - start, 1)
         results[name] = summary
-        print(name, json.dumps(summary))
+        print(name, json.dumps(summary), flush=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 

@@ -115,3 +115,31 @@ def test_reward_plot_curves():
     norm_r, norm_s = reward_and_prediction_curves(labels, preds, "f1")
     assert norm_r.shape == (5,) and norm_s.shape == (5,)
     np.testing.assert_allclose(norm_r.sum(), 1.0, atol=1e-5)
+
+
+def test_trainer_mq2007_shapes():
+    # mq2007: L=40, attncut F=25, mmoecut F=47 (run.py:34, :70, :86)
+    for model_name, feats in [("attncut", 25), ("mmoecut", 47)]:
+        cfg = TrainConfig(
+            model_name=model_name, retrieve_data="mq2007",
+            synthetic_queries=24, batch_size=8, epochs=1,
+            use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+        )
+        assert cfg.seq_len == 40 and cfg.input_size == feats
+        trainer = Trainer(cfg, data=tiny_data(cfg))
+        summary = trainer.run()
+        assert np.isfinite(summary["best_f1"])
+
+
+def test_predictor_infers_cuts():
+    from rlt_tpu.infer import Predictor
+
+    cfg = tiny_cfg("attncut")
+    pred = Predictor(cfg)
+    x = np.zeros((4, cfg.seq_len, cfg.input_size), np.float32)
+    ks = pred.predict(x)
+    assert ks.shape == (4,)
+    assert np.all((1 <= ks) & (ks <= cfg.seq_len))
+    ks2, dist = pred.predict_with_distribution(x)
+    np.testing.assert_array_equal(ks, ks2)
+    assert dist.shape == (4, cfg.seq_len)
