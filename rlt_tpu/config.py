@@ -32,6 +32,10 @@ class TrainConfig:
     criterion: str = "dcg"            # reward metric: 'f1' | 'dcg'
     div_type: str = "js"
     augmented_reward: bool = True
+    # optional override of the dispatched loss for single-task models
+    # ('attncut' | 'choopy' | 'div' | 'wass'); the reference hardwires the
+    # choice per model with alternatives left commented out (run.py:73-75)
+    loss_override: Optional[str] = None
     rerank_weight: float = 0.3
     class_weight: float = 0.4
 

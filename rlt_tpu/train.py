@@ -65,6 +65,21 @@ def make_criterion(cfg: config_lib.TrainConfig) -> Callable:
     mtple -> MtCutLoss WITHOUT weights (torch defaults 0.5/0.5).
     """
     name, metric = cfg.model_name, cfg.criterion
+    if cfg.loss_override and name in ("bicut", "choopy", "attncut"):
+        # run.py:73-75 keeps AttnCutLoss / WassDistLoss as commented-out
+        # alternatives to DivLoss; expose them as a first-class switch
+        if cfg.loss_override == "wass":
+            return functools.partial(losses_lib.wass_dist_loss)
+        if cfg.loss_override == "attncut":
+            return functools.partial(losses_lib.attncut_loss, metric=metric)
+        if cfg.loss_override == "choopy":
+            return functools.partial(losses_lib.choopy_loss, metric=metric)
+        if cfg.loss_override == "div":
+            return functools.partial(
+                losses_lib.div_loss, metric=metric, div_type=cfg.div_type,
+                augmented=cfg.augmented_reward,
+            )
+        raise ValueError(f"unknown loss_override: {cfg.loss_override!r}")
     if name == "bicut":
         return functools.partial(losses_lib.bicut_loss, metric=metric)
     if name == "choopy":
@@ -347,6 +362,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="skip the built-in hyper-parameter presets")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler trace of epochs 1-3 here")
+    p.add_argument("--loss-override", type=str, default=None,
+                   help="single-task loss switch: attncut|choopy|div|wass")
     p.add_argument("--conf-file", type=str, default=None,
                    help="reference-format hyper_parameter_*.conf to apply")
     return p
@@ -358,6 +375,7 @@ def config_from_args(args) -> config_lib.TrainConfig:
         dataset_base=args.dataset_base, batch_size=args.batch_size,
         model_name=args.model_name, num_tasks=args.num_tasks,
         dropout=args.dropout, criterion=args.criterion, div_type=args.div_type,
+        loss_override=args.loss_override,
         augmented_reward=bool(args.augmented_reward),
         rerank_weight=args.rerank_weight, class_weight=args.class_weight,
         epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,

@@ -285,22 +285,24 @@ def wass_dist_loss(
     def modified_cost(u, v):
         return (-cost + u[:, None] + v[None, :]) / eps
 
-    def cond(state):
-        _, _, err, it = state
-        return (err >= threshold) & (it < max_iter)
-
-    def body(state):
-        u, v, _, it = state
+    # Fixed-length scan with convergence freezing: identical fixed point to
+    # the reference's early-exit python loop, but reverse-differentiable
+    # (lax.while_loop has no VJP) and a single static XLA program.
+    def body(state, _):
+        u, v, done = state
         u_new = eps * (jnp.log(mu + 1e-8) - jax.nn.logsumexp(modified_cost(u, v), axis=-1)) + u
         v_new = eps * (
             jnp.log(nu + 1e-8) - jax.nn.logsumexp(modified_cost(u_new, v).T, axis=-1)
         ) + v
-        err = jnp.mean(jnp.sum(jnp.abs(u_new - u), axis=-1))
-        return u_new, v_new, err, it + 1
+        err = jnp.sum(jnp.abs(u_new - u))
+        u_out = jnp.where(done, u, u_new)
+        v_out = jnp.where(done, v, v_new)
+        return (u_out, v_out, done | (err < threshold)), None
 
     u0 = jnp.zeros((n_pts,))
     v0 = jnp.zeros((n_pts,))
-    u, v, _, _ = jax.lax.while_loop(cond, body, (u0, v0, jnp.inf, 0))
+    (u, v, _), _ = jax.lax.scan(body, (u0, v0, jnp.asarray(False)), None,
+                                length=max_iter)
     pi = jnp.exp(modified_cost(u, v))
     total_cost = jnp.sum(pi * cost)
     return total_cost if reduction in ("mean", "sum") else total_cost

@@ -34,8 +34,7 @@ def main():
     for name in args.models.split(","):
         cfg = config_lib.TrainConfig(
             model_name=name, dataset_name="drmm_tks", epochs=args.epochs,
-            seed=args.seed, use_pallas_attention=False,
-            log_dir="/tmp/rlt_tpu_sweep_runs",
+            seed=args.seed, log_dir="/tmp/rlt_tpu_sweep_runs",
         )
         cfg = config_lib.apply_preset(cfg)
         start = time.time()

@@ -143,3 +143,11 @@ def test_predictor_infers_cuts():
     ks2, dist = pred.predict_with_distribution(x)
     np.testing.assert_array_equal(ks, ks2)
     assert dist.shape == (4, cfg.seq_len)
+
+
+@pytest.mark.parametrize("override", ["attncut", "choopy", "div", "wass"])
+def test_loss_override_trains(override):
+    cfg = tiny_cfg("attncut", loss_override=override, epochs=1)
+    trainer = Trainer(cfg, data=tiny_data(cfg))
+    summary = trainer.run()
+    assert np.isfinite(summary["best_f1"])
