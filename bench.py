@@ -64,6 +64,25 @@ def main(quick: bool = False) -> None:
     # lists processed per epoch: every train row once + every test row once
     lists_per_epoch = data.n_train + data.n_test
     lists_per_sec = lists_per_epoch / epoch_time
+
+    # serving-side throughput on the trained params
+    model = trainer.model
+    params = state.params
+    infer_batch = 256
+    x_inf = jax.numpy.zeros((infer_batch, cfg.seq_len, cfg.input_size), jax.numpy.float32)
+
+    @jax.jit
+    def infer(params, x):
+        return model.apply({"params": params}, x, deterministic=True)[-1]
+
+    out = infer(params, x_inf)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        out = infer(params, x_inf)
+    jax.block_until_ready(out)
+    infer_lists_per_sec = infer_batch * iters / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "mmoecut_train_epoch_time",
         "value": round(epoch_time, 6),
@@ -72,6 +91,7 @@ def main(quick: bool = False) -> None:
         "detail": {
             "backend": jax.default_backend(),
             "ranked_lists_per_sec": round(lists_per_sec, 1),
+            "infer_lists_per_sec": round(infer_lists_per_sec, 1),
             "n_train": int(data.n_train),
             "n_test": int(data.n_test),
             "batch_size": int(data.batch_size),

@@ -26,22 +26,36 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--models", type=str, default=",".join(ALL_MODELS))
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=str, default="0",
+                   help="comma-separated seeds (e.g. 0,1,2 for the 3-seed "
+                        "MMOECut reproduction, SURVEY §7.8)")
     p.add_argument("--out", type=str, default="RESULTS.json")
     args = p.parse_args()
 
+    seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
     for name in args.models.split(","):
-        cfg = config_lib.TrainConfig(
-            model_name=name, dataset_name="drmm_tks", epochs=args.epochs,
-            seed=args.seed, log_dir="/tmp/rlt_tpu_sweep_runs",
-        )
-        cfg = config_lib.apply_preset(cfg)
-        start = time.time()
-        summary = Trainer(cfg).run()
-        summary["wall_s"] = round(time.time() - start, 1)
-        results[name] = summary
-        print(name, json.dumps(summary), flush=True)
+        per_seed = []
+        for seed in seeds:
+            cfg = config_lib.TrainConfig(
+                model_name=name, dataset_name="drmm_tks", epochs=args.epochs,
+                seed=seed, log_dir="/tmp/rlt_tpu_sweep_runs",
+            )
+            cfg = config_lib.apply_preset(cfg)
+            start = time.time()
+            summary = Trainer(cfg).run()
+            summary["wall_s"] = round(time.time() - start, 1)
+            summary["seed"] = seed
+            per_seed.append(summary)
+        if len(per_seed) == 1:
+            results[name] = per_seed[0]
+        else:
+            results[name] = {
+                "per_seed": per_seed,
+                "mean_best_f1": sum(s["best_f1"] for s in per_seed) / len(per_seed),
+                "mean_best5_f1": sum(s["best5_f1"] for s in per_seed) / len(per_seed),
+            }
+        print(name, json.dumps(results[name]), flush=True)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
 
