@@ -39,36 +39,46 @@ def epoch_permutation(key: jax.Array, n: int, batch_size: int):
 class DeviceDataset(struct.PyTreeNode):
     """Train/test splits as device arrays plus the static batch plan.
 
-    A pytree (arrays are leaves, batch_size is static) so it can be passed
-    straight into jitted epoch programs."""
+    A pytree (arrays are leaves; batch_size and the true row counts are
+    static) so it can be passed straight into jitted epoch programs. When a
+    batch sharding is given, rows are padded to a multiple of the device
+    count (XLA requires even shards); the batch plan never indexes past the
+    true row counts, so pad rows are dead weight only."""
 
     x_train: jax.Array
     y_train: jax.Array
     x_test: jax.Array
     y_test: jax.Array
     batch_size: int = struct.field(pytree_node=False)
+    n_train: int = struct.field(pytree_node=False, default=0)
+    n_test: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def from_host(cls, data, batch_size: int, sharding=None) -> "DeviceDataset":
         """Put a RankedListData on device (optionally with a NamedSharding so
         multi-chip runs keep the data sharded over the batch axis)."""
-        put = (lambda a: jax.device_put(np.asarray(a), sharding)) if sharding \
-            else (lambda a: jnp.asarray(a))
+        n_train = int(np.asarray(data.x_train).shape[0])
+        n_test = int(np.asarray(data.x_test).shape[0])
+        if sharding is not None:
+            n_dev = len(sharding.device_set)
+
+            def put(a):
+                a = np.asarray(a)
+                rem = (-a.shape[0]) % n_dev
+                if rem:
+                    a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
+                return jax.device_put(a, sharding)
+        else:
+            put = jnp.asarray
         return cls(
             x_train=put(data.x_train),
             y_train=put(data.y_train),
             x_test=put(data.x_test),
             y_test=put(data.y_test),
             batch_size=batch_size,
+            n_train=n_train,
+            n_test=n_test,
         )
-
-    @property
-    def n_train(self) -> int:
-        return self.x_train.shape[0]
-
-    @property
-    def n_test(self) -> int:
-        return self.x_test.shape[0]
 
     @property
     def train_batches(self) -> int:

@@ -84,3 +84,26 @@ def test_trainer_data_parallel_on_cpu_mesh():
     trainer = Trainer(cfg, data=data, sharding=batch_sharding(mesh))
     summary = trainer.run()
     assert np.isfinite(summary["best_f1"])
+
+
+@needs_multi_cpu
+def test_data_parallel_matches_single_device():
+    """Sharding the batch over the mesh must not change the math — same seed,
+    same data => same epoch metrics (up to reduction-order noise)."""
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.parallel import batch_sharding, data_parallel_mesh
+    from rlt_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model_name="attncut", seq_len_override=16, input_size_override=3,
+        synthetic_queries=32, batch_size=16, epochs=3, dropout=0.0,
+        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+    )
+    data = synthetic_dataset(num_queries=32, seq_len=16, num_features=3,
+                             mean_relevant=4.0, seed=0)
+    single = Trainer(cfg, data=data).run()
+    mesh = data_parallel_mesh(8, devices=cpu_devices()[:8])
+    sharded = Trainer(cfg, data=data, sharding=batch_sharding(mesh)).run()
+    assert abs(single["best_f1"] - sharded["best_f1"]) < 1e-4
+    assert abs(single["best_dcg"] - sharded["best_dcg"]) < 1e-3
