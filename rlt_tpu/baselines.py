@@ -48,12 +48,12 @@ def main(argv=None):
         data = load_pkl_dataset(args.dataset_base, args.retrieve_data,
                                 args.dataset_name, "choopy")
     else:
-        from rlt_tpu.data.datasets import synthetic_quality
+        from rlt_tpu.data.datasets import synthetic_config
 
         cfg = TrainConfig(retrieve_data=args.retrieve_data,
                           dataset_name=args.dataset_name)
         data = synthetic_dataset(seq_len=cfg.seq_len, seed=args.seed,
-                                 retrieval_quality=synthetic_quality(args.dataset_name))
+                                 **synthetic_config(args.retrieve_data, args.dataset_name))
     table = baseline_table(data.y_train, data.y_test, tuple(args.fixed_ks))
     print(json.dumps(table, indent=2))
     return table

@@ -119,13 +119,27 @@ def load_pkl_dataset(
 # ---------------------------------------------------------------------------
 
 # retrieval_quality calibrated so synthetic oracle F1 matches the reference's
-# per-ranker oracle (Baseline/Oracle.ipynb cell 10: BM25 0.4413, DRMM 0.4398,
-# DRMM-TKS 0.8547).
-SYNTHETIC_QUALITY = {"bm25": 3.2, "drmm": 3.2, "drmm_tks": 19.5}
+# per-ranker oracle (Baseline/Oracle.ipynb cell 10/13):
+#   robust04: BM25 0.4413, DRMM 0.4398, DRMM-TKS 0.8547 (L=300, ~45 rel/query)
+#   mq2007:   BM25 0.6169, DRMM-TKS 0.8877           (L=40, ~8 rel/query)
+SYNTHETIC_QUALITY = {
+    "robust04": {"bm25": 3.2, "drmm": 3.2, "drmm_tks": 19.5},
+    "mq2007": {"bm25": 4.0, "drmm": 4.0, "drmm_tks": 13.8},
+}
+SYNTHETIC_MEAN_RELEVANT = {"robust04": 45.0, "mq2007": 8.0}
 
 
-def synthetic_quality(dataset_name: str) -> float:
-    return SYNTHETIC_QUALITY.get(dataset_name, 19.5)
+def synthetic_quality(dataset_name: str, retrieve_data: str = "robust04") -> float:
+    table = SYNTHETIC_QUALITY.get(retrieve_data, SYNTHETIC_QUALITY["robust04"])
+    return table.get(dataset_name, table["drmm_tks"])
+
+
+def synthetic_config(retrieve_data: str, dataset_name: str) -> dict:
+    """kwargs for synthetic_dataset matching the corpus statistics."""
+    return {
+        "retrieval_quality": synthetic_quality(dataset_name, retrieve_data),
+        "mean_relevant": SYNTHETIC_MEAN_RELEVANT.get(retrieve_data, 45.0),
+    }
 
 def synthetic_dataset(
     num_queries: int = 250,

@@ -215,12 +215,12 @@ class Trainer:
                 data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                         cfg.dataset_name, family)
             else:
-                from rlt_tpu.data.datasets import synthetic_quality
+                from rlt_tpu.data.datasets import synthetic_config
 
                 data = synthetic_dataset(
                     num_queries=cfg.synthetic_queries, seq_len=cfg.seq_len,
                     num_features=cfg.input_size, seed=cfg.seed,
-                    retrieval_quality=synthetic_quality(cfg.dataset_name),
+                    **synthetic_config(cfg.retrieve_data, cfg.dataset_name),
                 )
         self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
 
