@@ -67,7 +67,6 @@ class TrainConfig:
     # TPU execution
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16' matmul inputs
     use_pallas_attention: bool = True # fused attention kernel on TPU
-    scan_epoch: bool = True           # lax.scan the whole epoch on device
     data_parallel: bool = False       # shard batch over a Mesh('data')
 
     @property

@@ -129,12 +129,30 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
     matching run.py:148-153/:190-195's accumulation)."""
 
     model_name = cfg.model_name
+    # mixed precision: cast params + inputs to the compute dtype inside the
+    # loss (master weights stay fp32; autodiff casts the grads back). The MXU
+    # runs bf16 matmuls at 2x fp32 throughput; losses stay fp32.
+    cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+    def _cast_in(params, x):
+        if cdtype is None:
+            return params, x
+        cast = lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a
+        return jax.tree.map(cast, params), x.astype(cdtype)
+
+    def _cast_out(output):
+        if cdtype is None:
+            return output
+        to32 = lambda a: a.astype(jnp.float32)
+        return [to32(o) for o in output] if isinstance(output, (list, tuple)) \
+            else to32(output)
 
     def loss_fn(params, x, y, valid, dropout_rng):
-        output = model.apply(
-            {"params": params}, x, deterministic=False,
+        params_c, x_c = _cast_in(params, x)
+        output = _cast_out(model.apply(
+            {"params": params_c}, x_c, deterministic=False,
             rngs={"dropout": dropout_rng},
-        )
+        ))
         return criterion(output, y, valid=valid), output
 
     def train_step(state: TrainState, batch):
@@ -155,7 +173,8 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
         idx, valid = batch["idx"], batch["valid"]
         x = batch["x"][idx]
         y = batch["y"][idx]
-        output = model.apply({"params": params}, x, deterministic=True)
+        params_c, x_c = _cast_in(params, x)
+        output = _cast_out(model.apply({"params": params_c}, x_c, deterministic=True))
         loss = criterion(output, y, valid=valid)
         f1, dcg = _batch_metrics(model_name, output, y, valid)
         return loss, f1, dcg

@@ -151,3 +151,15 @@ def test_loss_override_trains(override):
     trainer = Trainer(cfg, data=tiny_data(cfg))
     summary = trainer.run()
     assert np.isfinite(summary["best_f1"])
+
+
+def test_bfloat16_compute_path():
+    cfg = tiny_cfg("attncut", compute_dtype="bfloat16", epochs=2)
+    trainer = Trainer(cfg, data=tiny_data(cfg))
+    summary = trainer.run()
+    assert np.isfinite(summary["best_f1"])
+    # master weights remain fp32
+    import jax
+
+    leaves = jax.tree.leaves(trainer.state.params)
+    assert all(l.dtype == np.float32 for l in leaves)
