@@ -27,7 +27,9 @@ class Predictor:
 
     def __init__(self, cfg: TrainConfig, params=None):
         self.cfg = cfg
-        use_pallas = cfg.use_pallas_attention and jax.default_backend() in ("tpu", "axon")
+        from rlt_tpu.utils.platform import pallas_supported
+
+        use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
             dropout=cfg.dropout, num_tasks=cfg.num_tasks,

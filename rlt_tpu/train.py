@@ -94,11 +94,12 @@ def make_criterion(cfg: config_lib.TrainConfig) -> Callable:
             losses_lib.mtcut_loss, metric=metric, rerank_weight=cfg.rerank_weight,
             classi_weight=cfg.class_weight, num_tasks=cfg.num_tasks,
         )
-    if name in ("mmoecut", "moecut", "mtple", "probe_base"):
+    if name in ("mmoecut", "moecut", "mtple"):
         return functools.partial(
             losses_lib.mtcut_loss, metric=metric, rerank_weight=0.5,
             classi_weight=0.5, num_tasks=cfg.num_tasks if name != "mtple" else 3,
         )
+    # probe_base trains through rlt_tpu.verify_probe (it returns intermediates)
     raise ValueError(f"no criterion for model {name!r}")
 
 
@@ -243,9 +244,9 @@ class Trainer:
                 )
         self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
 
-        # the Pallas kernel only compiles on TPU ('axon' = tunneled TPU here);
-        # CPU runs use the XLA attention path
-        use_pallas = cfg.use_pallas_attention and jax.default_backend() in ("tpu", "axon")
+        from rlt_tpu.utils.platform import pallas_supported
+
+        use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
             dropout=cfg.dropout, num_tasks=cfg.num_tasks,

@@ -57,7 +57,8 @@ class ProbeTrainer:
                                          **synthetic_config(cfg.retrieve_data, cfg.dataset_name))
         self.data = DeviceDataset.from_host(data, cfg.batch_size)
 
-        use_pallas = cfg.use_pallas_attention and jax.default_backend() in ("tpu", "axon")
+        from rlt_tpu.utils.platform import pallas_supported
+        use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.base = ProbeBase(seq_len=cfg.seq_len, num_tasks=cfg.num_tasks,
                               input_size=cfg.input_size, dropout=cfg.dropout,
                               num_experts=2, use_pallas=use_pallas)
