@@ -78,13 +78,16 @@ class TrainConfig:
 
     @property
     def input_size(self) -> int:
-        # run.py:60, :70, :86 — feature width per model family
+        # run.py:60, :70, :86 — feature width per model family. Choopy-family
+        # models always consume scores only (F=1): the cp_dataloader yields
+        # (N, L, 1) on every corpus and the model's 127-dim learned PE fills
+        # d_model=128 (models/Choopy.py:10,19-20).
         if self.input_size_override is not None:
             return self.input_size_override
-        if self.retrieve_data == "robust04":
-            return 1 if self.model_name in ("choopy", "mtchoopy") else 3
         if self.model_name in ("choopy", "mtchoopy"):
-            return 25
+            return 1
+        if self.retrieve_data == "robust04":
+            return 3
         if self.model_name in ("mmoecut", "moecut", "mtple", "probe_base"):
             return 47
         return 25

@@ -21,17 +21,54 @@ def doc_stats(token_lists: list[list[str]]) -> np.ndarray:
     )
 
 
-def tfidf_vectors(token_lists: list[list[str]], vocab: dict[str, int] | None = None):
-    """Sparse-free tf-idf: (num_docs, vocab) dense float32 matrix.
+def build_vocab(token_lists: list[list[str]]) -> dict[str, int]:
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for tok in toks:
+            vocab.setdefault(tok, len(vocab))
+    return vocab
 
-    Standard smoothed idf = log(N / df) as gensim's default; rows L2-normalized
-    so cosine similarity is a plain dot product.
-    """
+
+def corpus_idf(token_lists: list[list[str]]) -> dict[str, float]:
+    """idf = log2(N / df) over the whole corpus (gensim's default), computed
+    from document-frequency counts — no matrix materialized."""
+    n_docs = len(token_lists)
+    df: dict[str, int] = {}
+    for toks in token_lists:
+        for tok in set(toks):
+            df[tok] = df.get(tok, 0) + 1
+    return {tok: float(np.log2(max(n_docs / d, 1.0))) for tok, d in df.items()}
+
+
+def tfidf_sparse(token_lists: list[list[str]], idf: dict[str, float]):
+    """Per-document L2-normalized tf-idf as sparse dicts token -> weight."""
+    out = []
+    for toks in token_lists:
+        tf: dict[str, float] = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0.0) + 1.0
+        vec = {tok: c * idf.get(tok, 0.0) for tok, c in tf.items()}
+        norm = float(np.sqrt(sum(w * w for w in vec.values())))
+        if norm > 0:
+            vec = {tok: w / norm for tok, w in vec.items()}
+        out.append(vec)
+    return out
+
+
+def _sparse_cos(a: dict[str, float], b: dict[str, float]) -> float:
+    if len(b) < len(a):
+        a, b = b, a
+    return float(sum(w * b.get(tok, 0.0) for tok, w in a.items()))
+
+
+def tfidf_vectors(token_lists: list[list[str]], vocab: dict[str, int] | None = None):
+    """Dense tf-idf matrix (num_docs, vocab) for small corpora / tests.
+
+    idf is computed over `token_lists` itself; rows L2-normalized so cosine
+    similarity is a plain dot product. For ranked-list-scale feature building
+    use the sparse pipeline (`corpus_idf` + `tfidf_sparse`) instead."""
     if vocab is None:
-        vocab = {}
-        for toks in token_lists:
-            for tok in toks:
-                vocab.setdefault(tok, len(vocab))
+        vocab = build_vocab(token_lists)
     n_docs, n_vocab = len(token_lists), len(vocab)
     tf = np.zeros((n_docs, n_vocab), dtype=np.float32)
     for i, toks in enumerate(token_lists):
@@ -66,19 +103,38 @@ def neighbor_cosine_similarity(doc_vectors: np.ndarray) -> np.ndarray:
     return out
 
 
+def _neighbor_cos_sparse(vecs: list[dict[str, float]]) -> np.ndarray:
+    """neighbor_cosine_similarity over sparse (already normalized) vectors."""
+    length = len(vecs)
+    sim_next = np.asarray(
+        [_sparse_cos(vecs[i], vecs[i + 1]) for i in range(length - 1)],
+        dtype=np.float32,
+    )
+    out = np.zeros((length,), dtype=np.float32)
+    out[0] = sim_next[0]
+    out[-1] = sim_next[-1]
+    if length > 2:
+        out[1:-1] = 0.5 * (sim_next[:-1] + sim_next[1:])
+    return out
+
+
 def build_stat_features(
     token_lists_per_query: dict[str, list[list[str]]],
     embeddings_per_query: dict[str, np.ndarray] | None = None,
 ) -> dict[str, np.ndarray]:
     """Assemble the attncut feature block per query: [doc_len, unique_len,
-    tfidf_neighbor_sim[, embedding_neighbor_sim]] (ipynb cells 72-79)."""
-    all_tokens = [t for toks in token_lists_per_query.values() for t in toks]
-    _, vocab = tfidf_vectors(all_tokens)
+    tfidf_neighbor_sim[, embedding_neighbor_sim]] (ipynb cells 72-79).
+
+    tf-idf uses corpus-level idf (the reference trains one tf-idf model on the
+    whole corpus, document_statics.ipynb cells 19-21) and stays sparse — no
+    (total_docs x vocab) dense matrix."""
+    all_docs = [t for toks in token_lists_per_query.values() for t in toks]
+    idf = corpus_idf(all_docs)
     out = {}
     for qid, toks in token_lists_per_query.items():
         stats = doc_stats(toks)
-        tfidf, _ = tfidf_vectors(toks, vocab)
-        cols = [stats, neighbor_cosine_similarity(tfidf)[:, None]]
+        vecs = tfidf_sparse(toks, idf)
+        cols = [stats, _neighbor_cos_sparse(vecs)[:, None]]
         if embeddings_per_query is not None:
             cols.append(neighbor_cosine_similarity(embeddings_per_query[qid])[:, None])
         out[qid] = np.concatenate(cols, axis=1).astype(np.float32)

@@ -9,6 +9,7 @@ jit, no torch.distributed analogue, no hand-written NCCL calls."""
 from rlt_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     data_parallel_mesh,
+    pad_and_shard_rows,
     replicated,
     shard_dataset,
 )

@@ -34,22 +34,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_dataset(data, mesh: Mesh):
-    """Pad rows to a multiple of the mesh size and shard over 'data'.
-
-    Returns (sharded RankedListData-like tuple of arrays). Padding rows are
-    dropped by the batch plan's valid mask, so values are irrelevant."""
+def pad_and_shard_rows(a, mesh: Mesh):
+    """Pad the leading dim to a multiple of the mesh size (XLA requires even
+    shards) and device_put sharded over 'data'. Padding rows are dropped by
+    the batch plan's valid mask, so their values are irrelevant."""
     shard = batch_sharding(mesh)
     n = mesh.devices.size
+    a = np.asarray(a)
+    rem = (-a.shape[0]) % n
+    if rem:
+        a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
+    return jax.device_put(a, shard)
 
-    def pad_and_put(a):
-        a = np.asarray(a)
-        rem = (-a.shape[0]) % n
-        if rem:
-            a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
-        return jax.device_put(a, shard)
 
-    return pad_and_put
+def shard_dataset(data, mesh: Mesh):
+    """Shard a RankedListData's four arrays over the 'data' axis. Returns
+    (x_train, y_train, x_test, y_test) as sharded device arrays."""
+    return tuple(
+        pad_and_shard_rows(a, mesh)
+        for a in (data.x_train, data.y_train, data.x_test, data.y_test)
+    )
 
 
 def device_put_replicated(tree, mesh: Mesh):

@@ -328,6 +328,7 @@ class Trainer:
             "best5_f1": best5_f1, "best5_dcg": best5_dcg,
         }
         self.writer.log_summary(summary)
+        self.writer.close()  # the reference closes per run too (run.py:364)
         return summary
 
     def _draw(self, epoch: int) -> None:

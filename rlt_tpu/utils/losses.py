@@ -271,16 +271,18 @@ def wass_dist_loss(
     """
     p = _squeeze_last(output)
     y = labels.astype(jnp.float32)
-    if valid is not None:
-        # padded rows would otherwise join the point clouds; collapse them onto
-        # a shared zero point for both clouds (cost 0 to each other).
-        w = valid.astype(jnp.float32)[:, None]
-        p = p * w
-        y = y * w
     cost = jnp.sum(jnp.abs(p[:, None, :] - y[None, :, :]) ** 2, axis=-1)  # (B, B)
     n_pts = cost.shape[0]
-    mu = jnp.full((n_pts,), 1.0 / n_pts)
-    nu = jnp.full((n_pts,), 1.0 / n_pts)
+    if valid is None:
+        mu = jnp.full((n_pts,), 1.0 / n_pts)
+        nu = mu
+    else:
+        # padded rows get (near-)zero marginal mass so they transport nothing;
+        # real rows keep uniform mass over the true row count — identical to
+        # running the reference on the unpadded batch.
+        w = valid.astype(jnp.float32)
+        mu = w / jnp.maximum(jnp.sum(w), 1.0)
+        nu = mu
 
     def modified_cost(u, v):
         return (-cost + u[:, None] + v[None, :]) / eps

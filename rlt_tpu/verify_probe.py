@@ -212,6 +212,7 @@ class ProbeTrainer:
                     epoch * per_step.shape[0] + s,
                     dict(zip(PROBE_TAGS, per_step[s])),
                 )
+        self.writer.close()
         return probe_curves
 
 

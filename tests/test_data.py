@@ -126,3 +126,38 @@ def test_doc_stats_and_tfidf():
     assert mat.shape == (2, 4)
     norms = np.linalg.norm(mat, axis=1)
     np.testing.assert_allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+
+def test_sparse_tfidf_matches_dense():
+    from rlt_tpu.data.features import (
+        corpus_idf, tfidf_sparse, tfidf_vectors, build_vocab,
+        neighbor_cosine_similarity, _neighbor_cos_sparse,
+    )
+
+    toks = [["a", "b", "a"], ["b", "c"], ["a", "c", "d"], ["d", "d", "b"]]
+    dense, vocab = tfidf_vectors(toks)
+    idf = corpus_idf(toks)
+    sparse = tfidf_sparse(toks, idf)
+    dense_sims = neighbor_cosine_similarity(dense)
+    sparse_sims = _neighbor_cos_sparse(sparse)
+    np.testing.assert_allclose(sparse_sims, dense_sims, atol=1e-6)
+
+
+def test_shard_helpers_return_arrays():
+    import jax
+
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        devs = []
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs multiple cpu devices")
+    from rlt_tpu.parallel import data_parallel_mesh, shard_dataset
+    from rlt_tpu.data import synthetic_dataset
+
+    mesh = data_parallel_mesh(2, devices=devs[:2])
+    data = synthetic_dataset(num_queries=10, seq_len=8, num_features=3, seed=0)
+    xt, yt, xe, ye = shard_dataset(data, mesh)
+    assert xt.shape[0] % 2 == 0 and xt.shape[1:] == (8, 3)

@@ -198,3 +198,23 @@ def test_valid_mask_matches_subset(rng, loss_name, kwargs):
     valid = jnp.array([1, 1, 1, 0, 0], dtype=jnp.float32)
     padded = float(loss(jnp.array(p), jnp.array(labels), valid=valid))
     assert padded == pytest.approx(unpadded, rel=1e-5)
+
+
+def test_wass_loss_padding_invariant():
+    """Padded rows with valid=0 must not change the OT loss (review finding)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    p = rng.random((4, 10)).astype(np.float32)
+    p = p / p.sum(axis=1, keepdims=True)
+    y = (rng.random((4, 10)) < 0.4).astype(np.float32)
+    # compare at full convergence: the early-stopping error norm sees the
+    # padded dims, so trajectories differ before the fixed point
+    kw = dict(max_iter=2000, threshold=0.0)
+    base = float(L.wass_dist_loss(jnp.asarray(p), jnp.asarray(y), **kw))
+    p_pad = np.concatenate([p, np.zeros((2, 10), np.float32)])
+    y_pad = np.concatenate([y, np.zeros((2, 10), np.float32)])
+    valid = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+    padded = float(L.wass_dist_loss(jnp.asarray(p_pad), jnp.asarray(y_pad),
+                                    valid=valid, **kw))
+    np.testing.assert_allclose(padded, base, rtol=1e-3, atol=1e-4)
