@@ -25,6 +25,8 @@ ALL_MODELS = ["bicut", "choopy", "attncut", "mtchoopy", "mtattncut",
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--retrieve-data", type=str, default="robust04")
+    p.add_argument("--dataset-name", type=str, default="drmm_tks")
     p.add_argument("--models", type=str, default=",".join(ALL_MODELS))
     p.add_argument("--seeds", type=str, default="0",
                    help="comma-separated seeds (e.g. 0,1,2 for the 3-seed "
@@ -38,7 +40,8 @@ def main():
         per_seed = []
         for seed in seeds:
             cfg = config_lib.TrainConfig(
-                model_name=name, dataset_name="drmm_tks", epochs=args.epochs,
+                model_name=name, retrieve_data=args.retrieve_data,
+                dataset_name=args.dataset_name, epochs=args.epochs,
                 seed=seed, log_dir="/tmp/rlt_tpu_sweep_runs",
             )
             cfg = config_lib.apply_preset(cfg)

@@ -55,3 +55,22 @@ def test_probe_trainer_two_phases(tmp_path):
     assert per_step.shape[1] == 6  # six probes logged per step
     assert np.all(np.isfinite(per_step))
     assert len(trainer.f1_record) == 1
+
+
+def test_train_persist_then_probe_frozen_trunk(tmp_path):
+    """End-to-end: train attncut with model_persist, reload the best
+    checkpoint as the frozen trunk for verification (reference flow:
+    run.py:203-214 -> verify_BMT.py:133-137)."""
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.train import Trainer
+    from rlt_tpu.verify_bmt import run_verification
+
+    cfg = tiny_cfg(model_persist=True, save_path=str(tmp_path), epochs=2)
+    data = synthetic_dataset(num_queries=cfg.synthetic_queries,
+                             seq_len=cfg.seq_len, num_features=cfg.input_size,
+                             mean_relevant=4.0, seed=0)
+    Trainer(cfg, data=data).run()
+
+    probe_cfg = tiny_cfg(epochs=1, model_path=str(tmp_path / "attncut"))
+    record = run_verification(probe_cfg, verify_type="c", ft=True, data=data)
+    assert np.isfinite(record[0])
