@@ -163,3 +163,22 @@ def test_bfloat16_compute_path():
 
     leaves = jax.tree.leaves(trainer.state.params)
     assert all(l.dtype == np.float32 for l in leaves)
+
+
+def test_conf_file_roundtrip(tmp_path):
+    """Reference-format hyper_parameter_*.conf files keep working."""
+    from rlt_tpu.config import TrainConfig, load_conf_file
+
+    conf = tmp_path / "hyper_parameter_test.conf"
+    conf.write_text(
+        "[attncut_conf]\n"
+        "batch_size = 63\nlr = 3e-05\nweight_decay = 0.0014756345581373493\n"
+        "dropout = 0.1\n"
+        "[mmoecut_conf]\n"
+        "batch_size = 63\nlr = 3e-05\nweight_decay = 0.0\ndropout = 0.1\n"
+        "rerank_weight = 0.4\nclass_weight = 0.6\n"
+    )
+    cfg = load_conf_file(TrainConfig(model_name="attncut"), str(conf))
+    assert cfg.lr == 3e-5 and cfg.dropout == 0.1 and cfg.batch_size == 63
+    cfg2 = load_conf_file(TrainConfig(model_name="mmoecut"), str(conf))
+    assert cfg2.rerank_weight == 0.4 and cfg2.class_weight == 0.6
