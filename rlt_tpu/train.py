@@ -30,7 +30,12 @@ from rlt_tpu.models import build_model
 from rlt_tpu.utils import losses as losses_lib
 from rlt_tpu.utils import metrics as metrics_lib
 from rlt_tpu.utils.logging import MetricsWriter
-from rlt_tpu.utils.checkpoint import load_params, save_params
+from rlt_tpu.utils.checkpoint import (
+    load_params,
+    load_train_state,
+    save_params,
+    save_train_state,
+)
 
 logger = logging.getLogger("rlt_tpu")
 
@@ -203,6 +208,7 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
             "train_dcg": jnp.mean(tdcg),
             "test_loss": jnp.mean(el), "test_f1": jnp.mean(ef1),
             "test_dcg": jnp.mean(edcg),
+            "train_loss_steps": tl,  # per-batch losses (run.py:146 loss_step)
         }
         return state, metrics
 
@@ -279,14 +285,26 @@ class Trainer:
         self.f1_record: list[float] = []
         self.dcg_record: list[float] = []
 
-    def run(self, profile_dir: str | None = None) -> dict:
+    def run(self, profile_dir: str | None = None, resume: bool = False) -> dict:
         """Epoch loop with best / best-5 tracking (run.py:222-232).
 
         profile_dir: when set, epochs 1-3 are captured with jax.profiler
-        (the reference has no tracing at all, SURVEY §5.1)."""
+        (the reference has no tracing at all, SURVEY §5.1).
+        resume: restore params + optimizer state + epoch from the last
+        `save_train_state` snapshot and continue (the reference can only
+        fine-tune from best weights, SURVEY §5.4)."""
         cfg = self.cfg
+        start_epoch = 0
+        ckpt_base = f"{cfg.save_path}/{self.model_name}"
+        if resume:
+            payload = load_train_state(ckpt_base, like_state=self.state)
+            if payload is not None:
+                self.state = TrainState(payload["params"], payload["opt_state"],
+                                        payload["rng"])
+                start_epoch = int(payload["epoch"]) + 1
+                logger.info("resumed from %s at epoch %d", ckpt_base, start_epoch)
         logger.info("Train the %s model", self.model_name)
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             if profile_dir is not None and epoch == 1:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir is not None and epoch == 4:
@@ -295,6 +313,11 @@ class Trainer:
             self.epoch_key, sub = jax.random.split(self.epoch_key)
             self.state, metrics = self.epoch_fn(self.state, self.data, sub)
             metrics = jax.device_get(metrics)
+            loss_steps = metrics.pop("train_loss_steps")
+            for s, step_loss in enumerate(np.asarray(loss_steps)):
+                self.writer.log_step(
+                    epoch * len(loss_steps) + s, "train/loss_step", float(step_loss)
+                )
             self.writer.log(epoch, metrics)
 
             test_f1 = float(metrics["test_f1"])
@@ -304,7 +327,9 @@ class Trainer:
             if test_f1 > self.best_test_f1:
                 self.best_test_f1 = test_f1
                 if cfg.model_persist:
-                    save_params(f"{cfg.save_path}/{self.model_name}", self.state.params)
+                    save_params(ckpt_base, self.state.params)
+            if cfg.model_persist:
+                save_train_state(ckpt_base, self.state, epoch)
             self.best_test_dcg = max(self.best_test_dcg, test_dcg)
 
             if cfg.draw and epoch % 2 == 0:
@@ -385,6 +410,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of epochs 1-3 here")
     p.add_argument("--loss-override", type=str, default=None,
                    help="single-task loss switch: attncut|choopy|div|wass")
+    p.add_argument("--resume", type=int, default=0,
+                   help="resume params+optimizer+epoch from the last snapshot")
     p.add_argument("--conf-file", type=str, default=None,
                    help="reference-format hyper_parameter_*.conf to apply")
     return p
@@ -454,7 +481,7 @@ def main(argv=None) -> dict | None:
     if cfg.parameter_search:
         parameter_search(cfg)
         return None
-    return Trainer(cfg).run(profile_dir=args.profile_dir)
+    return Trainer(cfg).run(profile_dir=args.profile_dir, resume=bool(args.resume))
 
 
 if __name__ == "__main__":

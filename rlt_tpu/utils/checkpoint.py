@@ -40,6 +40,39 @@ def save_params(path: str, params) -> str:
     return path + ".msgpack"
 
 
+def save_train_state(path: str, state, epoch: int) -> str:
+    """Persist the full training state (params + optimizer state + rng +
+    epoch) for true resume — the reference only stores model weights
+    (run.py:213, SURVEY §5.4)."""
+    import numpy as np
+
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "epoch": np.int32(epoch),
+    }
+    return save_params(path + ".trainstate", payload)
+
+
+def load_train_state(path: str, like_state=None, epoch: int = 0):
+    """Restore (state_fields_dict, epoch) saved by save_train_state, or None."""
+    import numpy as np
+
+    like = None
+    if like_state is not None:
+        like = {
+            "params": like_state.params,
+            "opt_state": like_state.opt_state,
+            "rng": like_state.rng,
+            "epoch": np.int32(epoch),
+        }
+    payload = load_params(path + ".trainstate", like=like)
+    if payload is None:
+        return None
+    return payload
+
+
 def load_params(path: str, like=None):
     """Load a params pytree saved by save_params; returns None if missing.
 
@@ -50,8 +83,11 @@ def load_params(path: str, like=None):
     if ocp is not None and os.path.exists(path + ".orbax"):
         ckptr = ocp.StandardCheckpointer()
         if like is not None:
+            import numpy as np
+
             target = jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), like
+                lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+                like,
             )
             return ckptr.restore(path + ".orbax", target)
         return ckptr.restore(path + ".orbax")

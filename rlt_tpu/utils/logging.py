@@ -50,6 +50,12 @@ class MetricsWriter:
             for key, value in metrics.items():
                 self._tb.add_scalar(self.TAGS.get(key, key), float(value), epoch)
 
+    def log_step(self, step: int, tag: str, value: float) -> None:
+        """Per-step scalar (reference run.py:146 'train/loss_step')."""
+        self._file.write(json.dumps({"step": step, tag: value}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
     def log_summary(self, summary: dict) -> None:
         self._file.write(json.dumps({"summary": {k: float(v) for k, v in summary.items()}}) + "\n")
 

@@ -182,3 +182,29 @@ def test_conf_file_roundtrip(tmp_path):
     assert cfg.lr == 3e-5 and cfg.dropout == 0.1 and cfg.batch_size == 63
     cfg2 = load_conf_file(TrainConfig(model_name="mmoecut"), str(conf))
     assert cfg2.rerank_weight == 0.4 and cfg2.class_weight == 0.6
+
+
+def test_resume_from_train_state(tmp_path):
+    """True resume: params + optimizer state + epoch restored (the reference
+    can only fine-tune from best weights)."""
+    cfg = tiny_cfg("attncut", epochs=3, model_persist=True,
+                   save_path=str(tmp_path))
+    data = tiny_data(cfg)
+    t1 = Trainer(cfg, data=data)
+    t1.run()
+
+    # a fresh trainer resumes at epoch 3 == cfg.epochs -> no epochs run
+    t2 = Trainer(cfg, data=data)
+    summary = t2.run(resume=True)
+    assert len(t2.f1_record) == 0
+    # extending epochs resumes mid-stream
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, epochs=5)
+    t3 = Trainer(cfg2, data=data)
+    t3.run(resume=True)
+    assert len(t3.f1_record) == 2  # epochs 3 and 4 only
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        t2.state.opt_state, t1.state.opt_state,
+    )
