@@ -87,7 +87,13 @@ class TorchLinear(nn.Module):
 def _default_unroll() -> int:
     """Scan unroll: 8 on TPU (amortizes per-step overhead, the MXU eats the
     inlined matmuls); 1 on CPU, where XLA's compile time explodes with the
-    inlined scan body (a full-shape model took >30 min to compile at unroll=8)."""
+    inlined scan body (a full-shape model took >30 min to compile at unroll=8).
+    Override with RLT_LSTM_UNROLL to trade compile time against step time."""
+    import os
+
+    override = os.environ.get("RLT_LSTM_UNROLL")
+    if override:
+        return int(override)
     return 8 if jax.default_backend() in ("tpu", "axon") else 1
 
 
