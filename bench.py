@@ -30,9 +30,7 @@ MEASURE_EPOCHS = 20
 
 
 def main(quick: bool = False) -> None:
-    global MEASURE_EPOCHS
-    if quick:
-        MEASURE_EPOCHS = 3
+    measure_epochs = 3 if quick else MEASURE_EPOCHS
     from rlt_tpu import config as config_lib
     from rlt_tpu.train import Trainer
 
@@ -54,13 +52,13 @@ def main(quick: bool = False) -> None:
     jax.block_until_ready(metrics)
 
     start = time.perf_counter()
-    for _ in range(MEASURE_EPOCHS):
+    for _ in range(measure_epochs):
         key, sub = jax.random.split(key)
         state, metrics = trainer.epoch_fn(state, data, sub)
     jax.block_until_ready(metrics)
     elapsed = time.perf_counter() - start
 
-    epoch_time = elapsed / MEASURE_EPOCHS
+    epoch_time = elapsed / measure_epochs
     # lists processed per epoch: every train row once + every test row once
     lists_per_epoch = data.n_train + data.n_test
     lists_per_sec = lists_per_epoch / epoch_time
@@ -95,7 +93,7 @@ def main(quick: bool = False) -> None:
             "n_train": int(data.n_train),
             "n_test": int(data.n_test),
             "batch_size": int(data.batch_size),
-            "measure_epochs": MEASURE_EPOCHS,
+            "measure_epochs": measure_epochs,
             "projected_100_epoch_train_minutes": round(epoch_time * 100 / 60, 3),
             "last_test_f1": float(np.asarray(metrics["test_f1"])),
         },

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from rlt_tpu.config import TrainConfig
 from rlt_tpu.data import load_pkl_dataset, synthetic_dataset
+from rlt_tpu.data.datasets import synthetic_config
 from rlt_tpu.utils import metrics as metrics_lib
 
 
@@ -48,8 +49,6 @@ def main(argv=None):
         data = load_pkl_dataset(args.dataset_base, args.retrieve_data,
                                 args.dataset_name, "choopy")
     else:
-        from rlt_tpu.data.datasets import synthetic_config
-
         cfg = TrainConfig(retrieve_data=args.retrieve_data,
                           dataset_name=args.dataset_name)
         data = synthetic_dataset(seq_len=cfg.seq_len, seed=args.seed,

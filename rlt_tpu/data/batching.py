@@ -21,6 +21,16 @@ def num_batches(n: int, batch_size: int) -> int:
     return -(-n // batch_size)
 
 
+def pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad the leading dim to a multiple (XLA requires even shards).
+    Shared by DeviceDataset.from_host and rlt_tpu.parallel."""
+    a = np.asarray(a)
+    rem = (-a.shape[0]) % multiple
+    if rem:
+        a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
+    return a
+
+
 def epoch_permutation(key: jax.Array, n: int, batch_size: int):
     """Shuffled, padded epoch index plan.
 
@@ -61,13 +71,7 @@ class DeviceDataset(struct.PyTreeNode):
         n_test = int(np.asarray(data.x_test).shape[0])
         if sharding is not None:
             n_dev = len(sharding.device_set)
-
-            def put(a):
-                a = np.asarray(a)
-                rem = (-a.shape[0]) % n_dev
-                if rem:
-                    a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
-                return jax.device_put(a, sharding)
+            put = lambda a: jax.device_put(pad_rows(a, n_dev), sharding)
         else:
             put = jnp.asarray
         return cls(

@@ -20,6 +20,7 @@ from rlt_tpu.config import TrainConfig
 from rlt_tpu.models import build_model
 from rlt_tpu.train import decode_ks
 from rlt_tpu.utils.checkpoint import load_params
+from rlt_tpu.utils.platform import pallas_supported
 
 
 class Predictor:
@@ -27,8 +28,6 @@ class Predictor:
 
     def __init__(self, cfg: TrainConfig, params=None):
         self.cfg = cfg
-        from rlt_tpu.utils.platform import pallas_supported
-
         use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,

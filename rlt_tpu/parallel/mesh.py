@@ -38,13 +38,9 @@ def pad_and_shard_rows(a, mesh: Mesh):
     """Pad the leading dim to a multiple of the mesh size (XLA requires even
     shards) and device_put sharded over 'data'. Padding rows are dropped by
     the batch plan's valid mask, so their values are irrelevant."""
-    shard = batch_sharding(mesh)
-    n = mesh.devices.size
-    a = np.asarray(a)
-    rem = (-a.shape[0]) % n
-    if rem:
-        a = np.concatenate([a, np.zeros((rem,) + a.shape[1:], a.dtype)])
-    return jax.device_put(a, shard)
+    from rlt_tpu.data.batching import pad_rows
+
+    return jax.device_put(pad_rows(a, mesh.devices.size), batch_sharding(mesh))
 
 
 def shard_dataset(data, mesh: Mesh):

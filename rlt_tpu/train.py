@@ -26,6 +26,8 @@ from flax import struct
 
 from rlt_tpu import config as config_lib
 from rlt_tpu.data import DeviceDataset, RankedListData, epoch_permutation, load_pkl_dataset, synthetic_dataset
+from rlt_tpu.data.datasets import synthetic_config
+from rlt_tpu.utils.platform import pallas_supported
 from rlt_tpu.models import build_model
 from rlt_tpu.utils import losses as losses_lib
 from rlt_tpu.utils import metrics as metrics_lib
@@ -74,7 +76,7 @@ def make_criterion(cfg: config_lib.TrainConfig) -> Callable:
         # run.py:73-75 keeps AttnCutLoss / WassDistLoss as commented-out
         # alternatives to DivLoss; expose them as a first-class switch
         if cfg.loss_override == "wass":
-            return functools.partial(losses_lib.wass_dist_loss)
+            return losses_lib.wass_dist_loss
         if cfg.loss_override == "attncut":
             return functools.partial(losses_lib.attncut_loss, metric=metric)
         if cfg.loss_override == "choopy":
@@ -241,16 +243,12 @@ class Trainer:
                 data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                         cfg.dataset_name, family)
             else:
-                from rlt_tpu.data.datasets import synthetic_config
-
                 data = synthetic_dataset(
                     num_queries=cfg.synthetic_queries, seq_len=cfg.seq_len,
                     num_features=cfg.input_size, seed=cfg.seed,
                     **synthetic_config(cfg.retrieve_data, cfg.dataset_name),
                 )
         self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
-
-        from rlt_tpu.utils.platform import pallas_supported
 
         use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.model = build_model(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import jax
+import numpy as np
 
 
 def _orbax():
@@ -44,8 +45,6 @@ def save_train_state(path: str, state, epoch: int) -> str:
     """Persist the full training state (params + optimizer state + rng +
     epoch) for true resume — the reference only stores model weights
     (run.py:213, SURVEY §5.4)."""
-    import numpy as np
-
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -57,8 +56,6 @@ def save_train_state(path: str, state, epoch: int) -> str:
 
 def load_train_state(path: str, like_state=None, epoch: int = 0):
     """Restore (state_fields_dict, epoch) saved by save_train_state, or None."""
-    import numpy as np
-
     like = None
     if like_state is not None:
         like = {
@@ -83,8 +80,6 @@ def load_params(path: str, like=None):
     if ocp is not None and os.path.exists(path + ".orbax"):
         ckptr = ocp.StandardCheckpointer()
         if like is not None:
-            import numpy as np
-
             target = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
                 like,

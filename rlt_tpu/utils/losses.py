@@ -306,8 +306,8 @@ def wass_dist_loss(
     (u, v, _), _ = jax.lax.scan(body, (u0, v0, jnp.asarray(False)), None,
                                 length=max_iter)
     pi = jnp.exp(modified_cost(u, v))
-    total_cost = jnp.sum(pi * cost)
-    return total_cost if reduction in ("mean", "sum") else total_cost
+    del reduction  # kept for reference API parity; the cost is already a scalar
+    return jnp.sum(pi * cost)
 
 
 # ---------------------------------------------------------------------------

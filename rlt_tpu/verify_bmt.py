@@ -27,6 +27,7 @@ from rlt_tpu.train import TrainState, make_optimizer
 from rlt_tpu.utils import losses as losses_lib
 from rlt_tpu.utils import metrics as metrics_lib
 from rlt_tpu.utils.checkpoint import load_params
+from rlt_tpu.data.datasets import synthetic_config
 
 logger = logging.getLogger("rlt_tpu.verify_bmt")
 
@@ -60,7 +61,6 @@ def run_verification(cfg: TrainConfig, verify_type: str = "r", ft: bool = False,
             data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                     cfg.dataset_name, family)
         else:
-            from rlt_tpu.data.datasets import synthetic_config
             data = synthetic_dataset(num_queries=cfg.synthetic_queries,
                                      seq_len=cfg.seq_len,
                                      num_features=cfg.input_size, seed=cfg.seed,

@@ -27,6 +27,8 @@ from rlt_tpu.utils import losses as losses_lib
 from rlt_tpu.utils import metrics as metrics_lib
 from rlt_tpu.utils.checkpoint import load_params, save_params
 from rlt_tpu.utils.logging import MetricsWriter
+from rlt_tpu.data.datasets import synthetic_config
+from rlt_tpu.utils.platform import pallas_supported
 
 logger = logging.getLogger("rlt_tpu.verify_probe")
 
@@ -49,7 +51,6 @@ class ProbeTrainer:
                 data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                         cfg.dataset_name, family)
             else:
-                from rlt_tpu.data.datasets import synthetic_config
                 data = synthetic_dataset(num_queries=cfg.synthetic_queries,
                                          seq_len=cfg.seq_len,
                                          num_features=cfg.input_size,
@@ -57,7 +58,6 @@ class ProbeTrainer:
                                          **synthetic_config(cfg.retrieve_data, cfg.dataset_name))
         self.data = DeviceDataset.from_host(data, cfg.batch_size)
 
-        from rlt_tpu.utils.platform import pallas_supported
         use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.base = ProbeBase(seq_len=cfg.seq_len, num_tasks=cfg.num_tasks,
                               input_size=cfg.input_size, dropout=cfg.dropout,

@@ -22,6 +22,50 @@ ALL_MODELS = ["bicut", "choopy", "attncut", "mtchoopy", "mtattncut",
               "mmoecut", "moecut", "mtple"]
 
 
+def run_folds(args):
+    """split_1..N re-splits of one fixed corpus (5-fold reference protocol)."""
+    import numpy as np
+
+    from rlt_tpu.data import RankedListData, synthetic_dataset
+    from rlt_tpu.data.datasets import synthetic_config
+
+    results = {}
+    for name in args.models.split(","):
+        cfg0 = config_lib.apply_preset(config_lib.TrainConfig(
+            model_name=name, retrieve_data=args.retrieve_data,
+            dataset_name=args.dataset_name, epochs=args.epochs,
+            log_dir="/tmp/rlt_tpu_sweep_runs",
+        ))
+        base = synthetic_dataset(
+            num_queries=cfg0.synthetic_queries, seq_len=cfg0.seq_len,
+            num_features=cfg0.input_size, seed=0, train_fraction=1.0,
+            **synthetic_config(args.retrieve_data, args.dataset_name),
+        )
+        x = np.concatenate([base.x_train, base.x_test]) if base.x_test.size else base.x_train
+        y = np.concatenate([base.y_train, base.y_test]) if base.y_test.size else base.y_train
+        per_fold = []
+        for fold in range(args.folds):
+            rng = np.random.default_rng(fold)
+            perm = rng.permutation(x.shape[0])
+            n_train = int(round(0.8 * x.shape[0]))
+            tr, te = perm[:n_train], perm[n_train:]
+            data = RankedListData(x[tr], y[tr], x[te], y[te])
+            cfg = config_lib.TrainConfig(**{**cfg0.__dict__, "seed": fold})
+            start = time.time()
+            summary = Trainer(cfg, data=data).run()
+            summary["fold"] = fold
+            summary["wall_s"] = round(time.time() - start, 1)
+            per_fold.append(summary)
+        results[name] = {
+            "per_fold": per_fold,
+            "mean_best_f1": float(np.mean([s["best_f1"] for s in per_fold])),
+            "std_best_f1": float(np.std([s["best_f1"] for s in per_fold])),
+        }
+        print(name, json.dumps(results[name]), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=100)
@@ -31,8 +75,15 @@ def main():
     p.add_argument("--seeds", type=str, default="0",
                    help="comma-separated seeds (e.g. 0,1,2 for the 3-seed "
                         "MMOECut reproduction, SURVEY §7.8)")
+    p.add_argument("--folds", type=int, default=0,
+                   help="train across N 80/20 re-splits of ONE corpus (the "
+                        "reference's split_1..5 protocol, data_prepare.ipynb)")
     p.add_argument("--out", type=str, default="RESULTS.json")
     args = p.parse_args()
+
+    if args.folds:
+        run_folds(args)
+        return
 
     seeds = [int(s) for s in args.seeds.split(",")]
     results = {}
