@@ -85,16 +85,16 @@ class TorchLinear(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _default_unroll() -> int:
-    """Scan unroll: 8 on TPU (amortizes per-step overhead, the MXU eats the
-    inlined matmuls); 1 on CPU, where XLA's compile time explodes with the
-    inlined scan body (a full-shape model took >30 min to compile at unroll=8).
-    Override with RLT_LSTM_UNROLL to trade compile time against step time."""
+    """LSTM scan unroll, overridable via RLT_LSTM_UNROLL.
+
+    Measured on the TPU (MMOECut epoch program, RESULTS.md): unroll=1 compiles
+    in 72 s and streams 0.70 ms epochs; unroll=8 compiles in ~15 min for 0.88
+    ms epochs — the recurrent matmuls are too small for unrolling to help, so
+    1 is strictly better on both axes (and CPU compile explodes above 1)."""
     import os
 
     override = os.environ.get("RLT_LSTM_UNROLL")
-    if override:
-        return int(override)
-    return 8 if jax.default_backend() in ("tpu", "axon") else 1
+    return int(override) if override else 1
 
 
 def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int | None = None):
