@@ -21,6 +21,39 @@ import pickle
 import numpy as np
 
 
+def run_from_trec_file(path: str) -> dict[str, dict[str, float]]:
+    """Parse a standard TREC run file ('qid Q0 docid rank score tag' lines)
+    into qid -> {doc_id: score}. The reference ingests retrieval runs from
+    ad-hoc pickles (data_prepare.ipynb cells 13-16, 34-45); TREC format is the
+    interoperable equivalent every IR toolkit emits."""
+    run: dict[str, dict[str, float]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 6:
+                continue
+            qid, _, doc_id, _, score = parts[:5]
+            run.setdefault(qid, {})[doc_id] = float(score)
+    return run
+
+
+def qrels_from_trec_file(path: str) -> dict[str, set]:
+    """Parse TREC qrels ('qid 0 docid rel') into qid -> relevant-doc set
+    (the reference builds gt.pkl from its own relevance pickles)."""
+    gt: dict[str, set] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _, doc_id, rel = parts[:4]
+            if int(rel) > 0:
+                gt.setdefault(qid, set()).add(doc_id)
+            else:
+                gt.setdefault(qid, set())
+    return gt
+
+
 def ranked_lists_from_run(run: dict[str, dict[str, float]], seq_len: int = 300):
     """run: qid -> {doc_id: score} (any order) -> qid -> ordered dict of the
     top-seq_len docs by descending score. Queries with < seq_len docs are

@@ -63,8 +63,9 @@ def make_dataset(tmp: str, seed: int = 0, num_queries: int = 250):
 
 
 def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
-                    weight_decay: float, batch_size: int, seed: int = 0):
-    """Train the reference AttnCut with its own modules (run.py recipe)."""
+                    weight_decay: float, batch_size: int, seed: int = 0,
+                    model_name: str = "attncut"):
+    """Train the reference model with its own modules (run.py recipe)."""
     import torch as t
 
     t.manual_seed(seed)
@@ -84,8 +85,15 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
     adl.DATASET_BASE = tmp  # reference hardcodes a lab path (run.py:22)
     train_loader, test_loader, _ = adl.dataloader("robust04", "drmm_tks", batch_size)
 
-    model = AttnCut(input_size=3, dropout=dropout)
-    criterion = ref_losses.DivLoss(metric="dcg", div_type="js", augmented=True)
+    if model_name == "mmoecut":
+        from models import MMOECut
+
+        model = MMOECut(seq_len=300, num_tasks=3, input_size=3,
+                        dropout=dropout, num_experts=3)
+        criterion = ref_losses.MtCutLoss(metric="dcg", num_tasks=3)
+    else:
+        model = AttnCut(input_size=3, dropout=dropout)
+        criterion = ref_losses.DivLoss(metric="dcg", div_type="js", augmented=True)
     optimizer = t.optim.Adam(model.parameters(), lr=lr, weight_decay=weight_decay)
 
     f1_rec, dcg_rec = [], []
@@ -100,7 +108,9 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         f1s, dcgs = [], []
         with t.no_grad():
             for X, y in test_loader:
-                out = model(X).detach().squeeze().numpy()
+                raw = model(X)
+                out = (raw[-1] if model_name == "mmoecut" else raw)
+                out = out.detach().squeeze().numpy()
                 ks = np.argmax(out, axis=1) + 1
                 yn = y.numpy()
                 f1s.append(Metric.f1(yn, ks))
@@ -117,12 +127,13 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
 
 
 def train_ours(data, epochs: int, lr: float, dropout: float,
-               weight_decay: float, batch_size: int, seed: int = 0):
+               weight_decay: float, batch_size: int, seed: int = 0,
+               model_name: str = "attncut"):
     from rlt_tpu.config import TrainConfig
     from rlt_tpu.train import Trainer
 
     cfg = TrainConfig(
-        model_name="attncut", dataset_name="drmm_tks", epochs=epochs, lr=lr,
+        model_name=model_name, dataset_name="drmm_tks", epochs=epochs, lr=lr,
         dropout=dropout, weight_decay=weight_decay, batch_size=batch_size,
         seed=seed, log_dir="/tmp/rlt_tpu_parity_runs",
     )
@@ -131,6 +142,8 @@ def train_ours(data, epochs: int, lr: float, dropout: float,
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="attncut",
+                   help="attncut | mmoecut")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=3e-5)
     p.add_argument("--dropout", type=float, default=0.1)
@@ -143,12 +156,14 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         data = make_dataset(tmp, seed=args.seed)
         ours = train_ours(data, args.epochs, args.lr, args.dropout,
-                          args.weight_decay, args.batch_size, args.seed)
+                          args.weight_decay, args.batch_size, args.seed,
+                          model_name=args.model)
         ref = train_reference(tmp, args.epochs, args.lr, args.dropout,
-                              args.weight_decay, args.batch_size, args.seed)
+                              args.weight_decay, args.batch_size, args.seed,
+                              model_name=args.model)
     result = {"reference_torch": ref, "rlt_tpu": ours,
               "config": {k: getattr(args, k) for k in
-                         ("epochs", "lr", "dropout", "weight_decay",
+                         ("model", "epochs", "lr", "dropout", "weight_decay",
                           "batch_size", "seed")}}
     print(json.dumps(result, indent=2))
     with open(args.out, "w") as f:

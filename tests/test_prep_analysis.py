@@ -99,3 +99,23 @@ def test_batch_norm_normalizes_channels():
     z = np.asarray(batch_norm(x))
     np.testing.assert_allclose(z.mean(axis=(0, 1)), 0.0, atol=1e-4)
     np.testing.assert_allclose(z.std(axis=(0, 1)), 1.0, atol=1e-3)
+
+
+def test_trec_run_and_qrels_parsing(tmp_path):
+    from rlt_tpu.data.prep import qrels_from_trec_file, run_from_trec_file
+
+    run_file = tmp_path / "run.txt"
+    run_file.write_text(
+        "301 Q0 docA 1 12.5 bm25\n"
+        "301 Q0 docB 2 11.0 bm25\n"
+        "302 Q0 docC 1 9.9 bm25\n"
+        "bad line\n"
+    )
+    run = run_from_trec_file(str(run_file))
+    assert run["301"] == {"docA": 12.5, "docB": 11.0}
+    assert run["302"] == {"docC": 9.9}
+
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text("301 0 docA 1\n301 0 docB 0\n302 0 docC 2\n")
+    gt = qrels_from_trec_file(str(qrels))
+    assert gt["301"] == {"docA"} and gt["302"] == {"docC"}
