@@ -130,6 +130,32 @@ def write_reference_layout(
                  sub, f"{dataset_name}_test.pkl")
 
 
+def main(argv=None):
+    """CLI: TREC run + qrels -> reference-layout pkl dataset.
+
+    python -m rlt_tpu.data.prep --run run.txt --qrels qrels.txt \
+        --out dataset/ --dataset-name bm25 [--seq-len 300]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="rlt_tpu dataset preparation")
+    p.add_argument("--run", type=str, required=True, help="TREC run file")
+    p.add_argument("--qrels", type=str, required=True, help="TREC qrels file")
+    p.add_argument("--out", type=str, required=True, help="output dataset root")
+    p.add_argument("--retrieve-data", type=str, default="robust04")
+    p.add_argument("--dataset-name", type=str, default="bm25")
+    p.add_argument("--seq-len", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    run = run_from_trec_file(args.run)
+    gt = qrels_from_trec_file(args.qrels)
+    ranked, gt, _ = prepare_dataset(run, gt, seq_len=args.seq_len)
+    write_reference_layout(args.out, args.retrieve_data, args.dataset_name,
+                           ranked, gt, seed=args.seed)
+    print(f"wrote {len(ranked)} queries to {args.out}/{args.retrieve_data}")
+
+
 def prepare_dataset(
     run: dict[str, dict[str, float]],
     relevant: dict[str, set],
@@ -152,3 +178,7 @@ def prepare_dataset(
         )
     gt = {q: set(relevant.get(q, set())) for q in ranked}
     return ranked, gt, stats
+
+
+if __name__ == "__main__":
+    main()

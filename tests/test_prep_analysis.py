@@ -119,3 +119,27 @@ def test_trec_run_and_qrels_parsing(tmp_path):
     qrels.write_text("301 0 docA 1\n301 0 docB 0\n302 0 docC 2\n")
     gt = qrels_from_trec_file(str(qrels))
     assert gt["301"] == {"docA"} and gt["302"] == {"docC"}
+
+
+def test_prep_cli_trec_to_dataset(tmp_path):
+    import numpy as np
+
+    from rlt_tpu.data import load_pkl_dataset
+    from rlt_tpu.data.prep import main as prep_main
+
+    rng = np.random.default_rng(0)
+    run_lines, qrel_lines = [], []
+    for qi in range(6):
+        qid = f"q{qi}"
+        for j in range(12):
+            doc = f"{qid}_d{j}"
+            run_lines.append(f"{qid} Q0 {doc} {j+1} {float(12-j)} t")
+            qrel_lines.append(f"{qid} 0 {doc} {int(rng.random() < 0.4)}")
+    (tmp_path / "run.txt").write_text("\n".join(run_lines))
+    (tmp_path / "qrels.txt").write_text("\n".join(qrel_lines))
+    out = tmp_path / "dataset"
+    prep_main(["--run", str(tmp_path / "run.txt"),
+               "--qrels", str(tmp_path / "qrels.txt"),
+               "--out", str(out), "--seq-len", "10"])
+    data = load_pkl_dataset(str(out), "robust04", "bm25", family="choopy")
+    assert data.x_train.shape[1:] == (10, 1)
