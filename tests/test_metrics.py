@@ -122,3 +122,35 @@ def test_masked_mean_matches_subset(rng):
     masked = float(M.f1_at_k(jnp.array(labels), jnp.array(ks), jnp.array(valid)))
     subset = float(M.f1_at_k(jnp.array(labels[:5]), jnp.array(ks[:5])))
     assert masked == pytest.approx(subset, abs=1e-6)
+
+
+def test_f1_curve_properties(rng):
+    """Property checks: F1 in [0,1]; perfect prefix -> F1@n_rel == 1."""
+    from rlt_tpu.utils.metrics import f1_curve
+
+    labels = (rng.random((8, 30)) < 0.3).astype(np.float32)
+    curve = np.asarray(f1_curve(labels))
+    assert curve.min() >= 0.0 and curve.max() <= 1.0 + 1e-6
+    perfect = np.zeros((1, 10), np.float32)
+    perfect[0, :4] = 1.0
+    c = np.asarray(f1_curve(perfect))
+    np.testing.assert_allclose(c[0, 3], 1.0, atol=1e-6)
+
+
+def test_dcg_curve_monotone_for_all_relevant():
+    from rlt_tpu.utils.metrics import dcg_curve
+
+    labels = np.ones((1, 12), np.float32)
+    curve = np.asarray(dcg_curve(labels))
+    assert np.all(np.diff(curve[0]) > 0)  # every kept doc adds gain
+
+
+def test_oracle_upper_bounds_any_decode(rng):
+    from rlt_tpu.utils.metrics import f1_at_k, oracle_score
+
+    labels = (rng.random((16, 25)) < 0.3).astype(np.float32)
+    labels[:, 0] = 1.0
+    oracle = float(oracle_score(labels, "f1"))
+    for _ in range(5):
+        ks = rng.integers(1, 26, size=16)
+        assert float(f1_at_k(labels, ks)) <= oracle + 1e-6
