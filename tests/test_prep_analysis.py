@@ -143,3 +143,38 @@ def test_prep_cli_trec_to_dataset(tmp_path):
                "--out", str(out), "--seq-len", "10"])
     data = load_pkl_dataset(str(out), "robust04", "bm25", family="choopy")
     assert data.x_train.shape[1:] == (10, 1)
+
+
+def test_trec_to_training_end_to_end(tmp_path):
+    """Full user workflow: TREC run/qrels -> prep CLI -> pkl dataset ->
+    Trainer on the loaded data (choopy family: scores only)."""
+    import numpy as np
+
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import load_pkl_dataset
+    from rlt_tpu.data.prep import main as prep_main
+    from rlt_tpu.train import Trainer
+
+    rng = np.random.default_rng(1)
+    run_lines, qrel_lines = [], []
+    for qi in range(20):
+        qid = f"q{qi}"
+        for j in range(12):
+            doc = f"{qid}_d{j}"
+            run_lines.append(f"{qid} Q0 {doc} {j+1} {float(12-j)+rng.random()} t")
+            qrel_lines.append(f"{qid} 0 {doc} {int(rng.random() < 0.4)}")
+    (tmp_path / "run.txt").write_text("\n".join(run_lines))
+    (tmp_path / "qrels.txt").write_text("\n".join(qrel_lines))
+    out = tmp_path / "dataset"
+    prep_main(["--run", str(tmp_path / "run.txt"),
+               "--qrels", str(tmp_path / "qrels.txt"),
+               "--out", str(out), "--seq-len", "12"])
+
+    data = load_pkl_dataset(str(out), "robust04", "bm25", family="choopy")
+    cfg = TrainConfig(
+        model_name="choopy", dataset_name="bm25", seq_len_override=12,
+        batch_size=8, epochs=2, use_pallas_attention=False,
+        log_dir="/tmp/rlt_tpu_test_runs",
+    )
+    summary = Trainer(cfg, data=data).run()
+    assert np.isfinite(summary["best_f1"])
