@@ -208,3 +208,20 @@ def test_resume_from_train_state(tmp_path):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         t2.state.opt_state, t1.state.opt_state,
     )
+
+
+def test_scanned_run_matches_python_loop(tmp_path):
+    """The single-program scanned run must produce the same per-epoch metrics
+    as the python epoch loop (same key sequence, same math)."""
+    cfg_loop = tiny_cfg("attncut", epochs=3, model_persist=True,
+                        save_path=str(tmp_path))  # persist forces the loop path
+    data = tiny_data(cfg_loop)
+    t_loop = Trainer(cfg_loop, data=data)
+    s_loop = t_loop.run()
+
+    cfg_scan = tiny_cfg("attncut", epochs=3)
+    t_scan = Trainer(cfg_scan, data=data)
+    s_scan = t_scan.run()
+
+    np.testing.assert_allclose(t_scan.f1_record, t_loop.f1_record, rtol=1e-5)
+    np.testing.assert_allclose(s_scan["best_f1"], s_loop["best_f1"], rtol=1e-5)
