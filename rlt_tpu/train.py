@@ -394,31 +394,42 @@ class Trainer:
         TPU this turns ~1.5 s/epoch of round trips into a single fetch."""
         cfg = self.cfg
         n = cfg.epochs - start_epoch
-        keys = []
-        for _ in range(n):
-            self.epoch_key, sub = jax.random.split(self.epoch_key)
-            keys.append(sub)
-        keys = jnp.stack(keys)
+        # chunk the scan: one program invocation per block bounds the device
+        # run length (very long single invocations can trip worker limits)
+        # while still amortizing the per-call host round trip block-fold
+        block = max(1, cfg.scan_block_epochs)
         start = time.time()
-        self.state, best_params, metrics = self.multi_epoch_fn(
-            self.state, self.data, keys)
-        metrics = jax.device_get(metrics)
-        logger.info("%d epochs in %.2fs (single scanned program)",
-                    n, time.time() - start)
+        done = 0
+        best_block_f1 = -float("inf")
+        while done < n:
+            m = min(block, n - done)
+            keys = []
+            for _ in range(m):
+                self.epoch_key, sub = jax.random.split(self.epoch_key)
+                keys.append(sub)
+            self.state, best_params, metrics = self.multi_epoch_fn(
+                self.state, self.data, jnp.stack(keys))
+            metrics = jax.device_get(metrics)
 
-        loss_steps = np.asarray(metrics.pop("train_loss_steps"))  # (n, steps)
-        for e in range(n):
-            epoch = start_epoch + e
-            for s in range(loss_steps.shape[1]):
-                self.writer.log_step(epoch * loss_steps.shape[1] + s,
-                                     "train/loss_step", float(loss_steps[e, s]))
-            row = {k: float(v[e]) for k, v in metrics.items()}
-            self.writer.log(epoch, row)
-            self.f1_record.append(row["test_f1"])
-            self.dcg_record.append(row["test_dcg"])
-        self.best_test_f1 = max(self.best_test_f1, float(np.max(metrics["test_f1"])))
-        self.best_test_dcg = max(self.best_test_dcg, float(np.max(metrics["test_dcg"])))
-        self.best_params = best_params  # on-device best-F1 snapshot
+            loss_steps = np.asarray(metrics.pop("train_loss_steps"))  # (m, steps)
+            for e in range(m):
+                epoch = start_epoch + done + e
+                for s in range(loss_steps.shape[1]):
+                    self.writer.log_step(epoch * loss_steps.shape[1] + s,
+                                         "train/loss_step", float(loss_steps[e, s]))
+                row = {k: float(v[e]) for k, v in metrics.items()}
+                self.writer.log(epoch, row)
+                self.f1_record.append(row["test_f1"])
+                self.dcg_record.append(row["test_dcg"])
+            block_max = float(np.max(metrics["test_f1"]))
+            if block_max > best_block_f1:
+                best_block_f1 = block_max
+                self.best_params = best_params  # device-side best-F1 snapshot
+            done += m
+        logger.info("%d epochs in %.2fs (scanned programs of <=%d epochs)",
+                    n, time.time() - start, block)
+        self.best_test_f1 = max(self.best_test_f1, best_block_f1)
+        self.best_test_dcg = max(self.best_test_dcg, float(np.max(self.dcg_record)))
 
         best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
         best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
