@@ -30,7 +30,7 @@ def run_from_trec_file(path: str) -> dict[str, dict[str, float]]:
     with open(path) as f:
         for line in f:
             parts = line.split()
-            if len(parts) < 6:
+            if len(parts) < 5:  # the trailing run tag is optional
                 continue
             qid, _, doc_id, _, score = parts[:5]
             run.setdefault(qid, {})[doc_id] = float(score)

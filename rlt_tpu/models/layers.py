@@ -94,7 +94,15 @@ def _default_unroll() -> int:
     import os
 
     override = os.environ.get("RLT_LSTM_UNROLL")
-    return int(override) if override else 1
+    if not override:
+        return 1
+    try:
+        value = int(override)
+    except ValueError as e:
+        raise ValueError(f"RLT_LSTM_UNROLL must be a positive int, got {override!r}") from e
+    if value < 1:
+        raise ValueError(f"RLT_LSTM_UNROLL must be >= 1, got {value}")
+    return value
 
 
 def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int | None = None):

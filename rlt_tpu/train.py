@@ -325,14 +325,24 @@ class Trainer:
             if payload is not None:
                 self.state = TrainState(payload["params"], payload["opt_state"],
                                         payload["rng"])
+                self.epoch_key = jnp.asarray(payload["epoch_key"])
                 start_epoch = int(payload["epoch"]) + 1
+                records = payload.get("records", {})
+                self.f1_record = list(records.get("f1_record", []))
+                self.dcg_record = list(records.get("dcg_record", []))
+                self.best_test_f1 = records.get("best_f1", self.best_test_f1)
+                self.best_test_dcg = records.get("best_dcg", self.best_test_dcg)
                 logger.info("resumed from %s at epoch %d", ckpt_base, start_epoch)
         logger.info("Train the %s model", self.model_name)
+        if start_epoch >= cfg.epochs:
+            # nothing left to train (e.g. resuming a completed run): report
+            # the restored bookkeeping instead of a zero-epoch NaN summary
+            return self._summarize()
         # the fully-scanned path needs no per-epoch host interaction; fall
         # back to the python epoch loop when the host must act per epoch
-        # (figures, profiler windows, per-epoch resume snapshots)
-        if not cfg.draw and profile_dir is None and not cfg.model_persist \
-                and start_epoch < cfg.epochs:
+        # (figures, profiler windows). Persistence works in both: the loop
+        # snapshots every epoch, the scanned path every scan block.
+        if not cfg.draw and profile_dir is None:
             return self._run_scanned(start_epoch)
         for epoch in range(start_epoch, cfg.epochs):
             if profile_dir is not None and epoch == 1:
@@ -358,9 +368,11 @@ class Trainer:
                 self.best_test_f1 = test_f1
                 if cfg.model_persist:
                     save_params(ckpt_base, self.state.params)
-            if cfg.model_persist:
-                save_train_state(ckpt_base, self.state, epoch)
             self.best_test_dcg = max(self.best_test_dcg, test_dcg)
+            if cfg.model_persist:
+                save_train_state(ckpt_base, self.state, epoch,
+                                 epoch_key=self.epoch_key,
+                                 records=self._records())
 
             if cfg.draw and epoch % 2 == 0:
                 self._draw(epoch)
@@ -374,8 +386,22 @@ class Trainer:
 
         if profile_dir is not None and 2 <= cfg.epochs <= 4:
             jax.profiler.stop_trace()
-        best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
-        best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
+        return self._summarize()
+
+    def _records(self) -> dict:
+        return {
+            "f1_record": self.f1_record, "dcg_record": self.dcg_record,
+            "best_f1": self.best_test_f1, "best_dcg": self.best_test_dcg,
+        }
+
+    def _summarize(self) -> dict:
+        """best / best-5 summary (run.py:229-232), safe on empty records."""
+        if self.f1_record:
+            best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
+            best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
+        else:
+            best5_f1 = self.best_test_f1
+            best5_dcg = self.best_test_dcg
         logger.info("best: f1=%.7f dcg=%.6f | best-5: f1=%.7f dcg=%.6f",
                     self.best_test_f1, self.best_test_dcg, best5_f1, best5_dcg)
         summary = {
@@ -400,7 +426,9 @@ class Trainer:
         block = max(1, cfg.scan_block_epochs)
         start = time.time()
         done = 0
-        best_block_f1 = -float("inf")
+        # seed with any restored best so a resumed run never clobbers the
+        # persisted best-F1 checkpoint with worse params
+        best_block_f1 = self.best_test_f1
         while done < n:
             m = min(block, n - done)
             keys = []
@@ -422,26 +450,23 @@ class Trainer:
                 self.f1_record.append(row["test_f1"])
                 self.dcg_record.append(row["test_dcg"])
             block_max = float(np.max(metrics["test_f1"]))
+            done += m
             if block_max > best_block_f1:
                 best_block_f1 = block_max
                 self.best_params = best_params  # device-side best-F1 snapshot
-            done += m
+                if cfg.model_persist:
+                    save_params(f"{cfg.save_path}/{self.model_name}", best_params)
+            self.best_test_f1 = max(self.best_test_f1, best_block_f1)
+            self.best_test_dcg = max(self.best_test_dcg,
+                                     float(np.max(metrics["test_dcg"])))
+            if cfg.model_persist:
+                # resume granularity = one scan block
+                save_train_state(f"{cfg.save_path}/{self.model_name}", self.state,
+                                 start_epoch + done - 1, epoch_key=self.epoch_key,
+                                 records=self._records())
         logger.info("%d epochs in %.2fs (scanned programs of <=%d epochs)",
                     n, time.time() - start, block)
-        self.best_test_f1 = max(self.best_test_f1, best_block_f1)
-        self.best_test_dcg = max(self.best_test_dcg, float(np.max(self.dcg_record)))
-
-        best5_f1 = float(np.mean(sorted(self.f1_record, reverse=True)[:5]))
-        best5_dcg = float(np.mean(sorted(self.dcg_record, reverse=True)[:5]))
-        logger.info("best: f1=%.7f dcg=%.6f | best-5: f1=%.7f dcg=%.6f",
-                    self.best_test_f1, self.best_test_dcg, best5_f1, best5_dcg)
-        summary = {
-            "best_f1": self.best_test_f1, "best_dcg": self.best_test_dcg,
-            "best5_f1": best5_f1, "best5_dcg": best5_dcg,
-        }
-        self.writer.log_summary(summary)
-        self.writer.close()
-        return summary
+        return self._summarize()
 
     def _draw(self, epoch: int) -> None:
         from rlt_tpu.utils.plots import plot_reward_vs_prediction

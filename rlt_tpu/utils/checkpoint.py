@@ -41,21 +41,32 @@ def save_params(path: str, params) -> str:
     return path + ".msgpack"
 
 
-def save_train_state(path: str, state, epoch: int) -> str:
+def save_train_state(path: str, state, epoch: int, epoch_key=None,
+                     records: dict | None = None) -> str:
     """Persist the full training state (params + optimizer state + rng +
-    epoch) for true resume — the reference only stores model weights
-    (run.py:213, SURVEY §5.4)."""
+    epoch + epoch-key stream position) for true resume — the reference only
+    stores model weights (run.py:213, SURVEY §5.4). `records` (e.g. per-epoch
+    f1/dcg history and running bests) goes to a JSON sidecar so best/best-5
+    bookkeeping survives the restart too."""
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
         "rng": state.rng,
         "epoch": np.int32(epoch),
+        "epoch_key": state.rng if epoch_key is None else epoch_key,
     }
-    return save_params(path + ".trainstate", payload)
+    out = save_params(path + ".trainstate", payload)
+    if records is not None:
+        import json
+
+        with open(path + ".records.json", "w") as f:
+            json.dump(records, f)
+    return out
 
 
 def load_train_state(path: str, like_state=None, epoch: int = 0):
-    """Restore (state_fields_dict, epoch) saved by save_train_state, or None."""
+    """Restore the dict saved by save_train_state (with 'records' merged in
+    from the JSON sidecar when present), or None."""
     like = None
     if like_state is not None:
         like = {
@@ -63,10 +74,17 @@ def load_train_state(path: str, like_state=None, epoch: int = 0):
             "opt_state": like_state.opt_state,
             "rng": like_state.rng,
             "epoch": np.int32(epoch),
+            "epoch_key": like_state.rng,
         }
     payload = load_params(path + ".trainstate", like=like)
     if payload is None:
         return None
+    records_path = path + ".records.json"
+    if os.path.exists(records_path):
+        import json
+
+        with open(records_path) as f:
+            payload["records"] = json.load(f)
     return payload
 
 

@@ -42,9 +42,15 @@ class MetricsWriter:
         self._file = open(self.path, "a", buffering=1)
         self._tb = _try_summary_writer(self.dir) if tensorboard else None
 
+    @staticmethod
+    def _safe(v: float):
+        """JSON has no Infinity/NaN tokens; map them to None."""
+        v = float(v)
+        return v if v == v and abs(v) != float("inf") else None
+
     def log(self, epoch: int, metrics: dict) -> None:
         row = {"epoch": epoch, "time": time.time()}
-        row.update({k: float(v) for k, v in metrics.items()})
+        row.update({k: self._safe(v) for k, v in metrics.items()})
         self._file.write(json.dumps(row) + "\n")
         if self._tb is not None:
             for key, value in metrics.items():
@@ -57,7 +63,8 @@ class MetricsWriter:
             self._tb.add_scalar(tag, value, step)
 
     def log_summary(self, summary: dict) -> None:
-        self._file.write(json.dumps({"summary": {k: float(v) for k, v in summary.items()}}) + "\n")
+        self._file.write(json.dumps(
+            {"summary": {k: self._safe(v) for k, v in summary.items()}}) + "\n")
 
     def close(self) -> None:
         self._file.close()

@@ -43,14 +43,15 @@ def run_folds(args):
         )
         x = np.concatenate([base.x_train, base.x_test]) if base.x_test.size else base.x_train
         y = np.concatenate([base.y_train, base.y_test]) if base.y_test.size else base.y_train
+        import dataclasses
+
+        from rlt_tpu.data.prep import split_dataset
+
         per_fold = []
         for fold in range(args.folds):
-            rng = np.random.default_rng(fold)
-            perm = rng.permutation(x.shape[0])
-            n_train = int(round(0.8 * x.shape[0]))
-            tr, te = perm[:n_train], perm[n_train:]
+            tr, te = split_dataset(list(range(x.shape[0])), 0.8, seed=fold)
             data = RankedListData(x[tr], y[tr], x[te], y[te])
-            cfg = config_lib.TrainConfig(**{**cfg0.__dict__, "seed": fold})
+            cfg = dataclasses.replace(cfg0, seed=fold)
             start = time.time()
             summary = Trainer(cfg, data=data).run()
             summary["fold"] = fold

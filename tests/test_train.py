@@ -193,17 +193,19 @@ def test_resume_from_train_state(tmp_path):
     t1 = Trainer(cfg, data=data)
     t1.run()
 
-    # a fresh trainer resumes at epoch 3 == cfg.epochs -> no epochs run
+    # a fresh trainer resumes at epoch 3 == cfg.epochs -> no epochs run, but
+    # the bookkeeping (records, bests) is restored from the snapshot sidecar
     t2 = Trainer(cfg, data=data)
     summary = t2.run(resume=True)
-    assert len(t2.f1_record) == 0
+    assert len(t2.f1_record) == 3
+    np.testing.assert_allclose(summary["best_f1"], max(t1.f1_record), rtol=1e-6)
     # extending epochs resumes mid-stream
     import dataclasses
 
     cfg2 = dataclasses.replace(cfg, epochs=5)
     t3 = Trainer(cfg2, data=data)
     t3.run(resume=True)
-    assert len(t3.f1_record) == 2  # epochs 3 and 4 only
+    assert len(t3.f1_record) == 5  # 3 restored + epochs 3 and 4
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
         t2.state.opt_state, t1.state.opt_state,
