@@ -15,3 +15,8 @@ from rlt_tpu.data.features import (  # noqa: F401
     neighbor_cosine_similarity,
     tfidf_vectors,
 )
+from rlt_tpu.data.doc2vec import (  # noqa: F401
+    Doc2Vec,
+    doc2vec_embeddings_per_query,
+    train_doc2vec,
+)

@@ -162,8 +162,17 @@ def prepare_dataset(
     token_lists: dict[str, list[list[str]]] | None = None,
     embeddings: dict[str, np.ndarray] | None = None,
     seq_len: int = 300,
+    train_embeddings: bool = False,
+    doc2vec_kwargs: dict | None = None,
 ):
     """Full pipeline: rank -> drop short/irrelevant queries -> stat features.
+
+    With ``train_embeddings=True`` (and no precomputed ``embeddings``) a
+    PV-DBOW doc2vec model is trained over the kept queries' token lists and
+    its document vectors feed the d2v neighbor-sim feature — the complete
+    document_statics.ipynb pipeline with no gensim. ``doc2vec_kwargs``
+    overrides `train_doc2vec` defaults (vector_size=200, min_count=2,
+    epochs=40).
 
     Returns (ranked, gt, stats|None) ready for write_reference_layout."""
     from rlt_tpu.data.features import build_stat_features
@@ -172,8 +181,18 @@ def prepare_dataset(
     ranked = filter_queries_with_relevance(ranked, relevant)
     stats = None
     if token_lists is not None:
+        kept_tokens = {q: token_lists[q] for q in ranked}
+        if embeddings is None and train_embeddings:
+            from rlt_tpu.data.doc2vec import (
+                doc2vec_embeddings_per_query,
+                train_doc2vec,
+            )
+
+            corpus = [t for toks in kept_tokens.values() for t in toks]
+            model = train_doc2vec(corpus, **(doc2vec_kwargs or {}))
+            embeddings = doc2vec_embeddings_per_query(model, kept_tokens)
         stats = build_stat_features(
-            {q: token_lists[q] for q in ranked},
+            kept_tokens,
             {q: embeddings[q] for q in ranked} if embeddings else None,
         )
     gt = {q: set(relevant.get(q, set())) for q in ranked}

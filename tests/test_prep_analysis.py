@@ -70,6 +70,26 @@ def test_end_to_end_prep_roundtrip(tmp_path):
     assert data.x_train.shape[0] + data.x_test.shape[0] == len(ranked)
 
 
+def test_prepare_dataset_trains_doc2vec_features(tmp_path):
+    """train_embeddings=True -> the 4th stat column (d2v neighbor sim) is
+    produced by the in-framework PV-DBOW model (document_statics.ipynb)."""
+    rng = np.random.default_rng(0)
+    run, rel = _toy_run(n_q=4, n_docs=6)
+    vocab = [f"w{i}" for i in range(20)]
+    token_lists = {
+        qid: [list(rng.choice(vocab, size=12)) for _ in range(6)] for qid in run
+    }
+    ranked, gt, stats = prepare_dataset(
+        run, rel, token_lists=token_lists, seq_len=6,
+        train_embeddings=True,
+        doc2vec_kwargs=dict(vector_size=8, min_count=1, epochs=2),
+    )
+    for qid in ranked:
+        assert stats[qid].shape == (6, 4)  # len, uniq, tfidf_sim, d2v_sim
+        assert np.isfinite(stats[qid]).all()
+        assert (np.abs(stats[qid][:, 3]) <= 1.0 + 1e-5).all()
+
+
 def test_reward_and_bias_curves():
     labels = np.asarray([[1, 1, 0, 0], [1, 0, 0, 0]], np.float32)
     f1 = mean_reward_curve(labels, "f1")
