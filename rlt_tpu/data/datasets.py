@@ -115,6 +115,46 @@ def load_pkl_dataset(
     return RankedListData(x_train, y_train, x_test, y_test)
 
 
+def load_bicut_lazy(
+    base: str,
+    retrieve_data: str = "robust04",
+    dataset_name: str = "drmm_tks",
+) -> RankedListData:
+    """Ingest the reference's per-query bicut layout
+    (bicut_dataloader.py:10-29): `<base>/<retrieve_data>/bicut/<ds>_<stage>/`
+    holds one pkl per qid with that query's (L, F) feature matrix; labels are
+    rederived per query as gt-membership of the ranked doc ids from
+    `<ds>_<stage>.pkl` (Rank_Dataset.__getitem__ :21-26).
+
+    The reference streams these lazily through DataLoader workers because its
+    bicut features are 231449-dim dense tf-idf; here the result is stacked
+    into one device-ready array (the loader exists for layout parity — the
+    trainer routes bicut through the attncut family, run.py:61-62).
+    """
+    db = os.path.join(base, retrieve_data)
+    gt = {k: set(v) for k, v in _load_pickle(os.path.join(db, "gt.pkl")).items()}
+
+    def load_stage(stage: str):
+        stage_dir = os.path.join(db, "bicut", f"{dataset_name}_{stage}")
+        raw = _load_pickle(os.path.join(db, f"{dataset_name}_{stage}.pkl"))
+        xs, ys = [], []
+        for fname in sorted(os.listdir(stage_dir)):
+            qid = fname.split(".")[0]
+            feat = np.asarray(_load_pickle(os.path.join(stage_dir, fname)),
+                              dtype=np.float32)
+            label = np.asarray(
+                [1.0 if doc in gt[qid] else 0.0 for doc in raw[qid].keys()],
+                dtype=np.float32,
+            )
+            xs.append(feat)
+            ys.append(label)
+        return np.stack(xs), np.stack(ys)
+
+    x_train, y_train = load_stage("train")
+    x_test, y_test = load_stage("test")
+    return RankedListData(x_train, y_train, x_test, y_test)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic fixture
 # ---------------------------------------------------------------------------

@@ -130,6 +130,33 @@ def write_reference_layout(
                  sub, f"{dataset_name}_test.pkl")
 
 
+def write_bicut_layout(
+    base: str,
+    retrieve_data: str,
+    dataset_name: str,
+    ranked: dict[str, dict[str, float]],
+    stats: dict[str, np.ndarray],
+    train_fraction: float = 0.8,
+    seed: int = 0,
+) -> None:
+    """Write the per-query bicut layout the lazy loader reads
+    (split_bicut_data.py:13-46 semantics, bicut_dataloader.py:10-26 layout):
+    `<base>/<retrieve_data>/bicut/<ds>_<stage>/<qid>.pkl`, each holding that
+    query's (L, 1+S) matrix of column_stack((scores, dense stats)). Must be
+    paired with `write_reference_layout` (same seed) for the score pkls and
+    gt.pkl the loader also reads."""
+    db = os.path.join(base, retrieve_data)
+    train_q, test_q = split_dataset(list(ranked), train_fraction, seed)
+    for stage, qids in (("train", train_q), ("test", test_q)):
+        stage_dir = os.path.join(db, "bicut", f"{dataset_name}_{stage}")
+        os.makedirs(stage_dir, exist_ok=True)
+        for qid in qids:
+            scores = np.asarray(list(ranked[qid].values()), dtype=np.float32)
+            feat = np.column_stack((scores, np.asarray(stats[qid], np.float32)))
+            with open(os.path.join(stage_dir, f"{qid}.pkl"), "wb") as f:
+                pickle.dump(feat, f)
+
+
 def main(argv=None):
     """CLI: TREC run + qrels -> reference-layout pkl dataset.
 

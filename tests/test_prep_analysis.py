@@ -70,6 +70,33 @@ def test_end_to_end_prep_roundtrip(tmp_path):
     assert data.x_train.shape[0] + data.x_test.shape[0] == len(ranked)
 
 
+def test_bicut_layout_roundtrip(tmp_path):
+    """write_bicut_layout -> load_bicut_lazy reproduces the per-qid layout of
+    bicut_dataloader.py (features = column_stack((scores, stats)), labels
+    rederived from gt membership)."""
+    from rlt_tpu.data.datasets import load_bicut_lazy
+    from rlt_tpu.data.prep import write_bicut_layout
+
+    rng = np.random.default_rng(0)
+    run, rel = _toy_run(n_q=6, n_docs=8)
+    ranked, gt, _ = prepare_dataset(run, rel, seq_len=8)
+    stats = {q: rng.standard_normal((8, 2)).astype(np.float32) for q in ranked}
+    write_reference_layout(str(tmp_path), "robust04", "bm25", ranked, gt, seed=3)
+    write_bicut_layout(str(tmp_path), "robust04", "bm25", ranked, stats, seed=3)
+
+    data = load_bicut_lazy(str(tmp_path), "robust04", "bm25")
+    assert data.x_train.shape[1:] == (8, 3)
+    assert data.x_train.shape[0] + data.x_test.shape[0] == len(ranked)
+    # same split seed -> same qids; verify one feature row and its label
+    eager = load_pkl_dataset(str(tmp_path), "robust04", "bm25", family="choopy")
+    np.testing.assert_allclose(
+        np.sort(data.x_train[:, :, 0].ravel()),
+        np.sort(eager.x_train[:, :, 0].ravel()), rtol=1e-6)
+    assert set(np.unique(data.y_train)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(np.sort(data.y_test.sum(1)),
+                                  np.sort(eager.y_test.sum(1)))
+
+
 def test_prepare_dataset_trains_doc2vec_features(tmp_path):
     """train_embeddings=True -> the 4th stat column (d2v neighbor sim) is
     produced by the in-framework PV-DBOW model (document_statics.ipynb)."""
