@@ -559,10 +559,15 @@ def parameter_search(cfg: config_lib.TrainConfig) -> None:
     """Random/logspace hyper-parameter search (run.py:349-364)."""
     rng = np.random.default_rng(cfg.seed)
     task_weight_range = np.logspace(-2, 1, num=250, base=10)
-    record = (
-        f"{cfg.model_name}_{cfg.retrieve_data}_{cfg.dataset_name}_"
-        f"{cfg.criterion}_params.log"
-    )
+    # the reference derives the record name in search mode (run.py:350);
+    # an explicitly overridden parameter_record wins here
+    if cfg.parameter_record != config_lib.TrainConfig.parameter_record:
+        record = cfg.parameter_record
+    else:
+        record = (
+            f"{cfg.model_name}_{cfg.retrieve_data}_{cfg.dataset_name}_"
+            f"{cfg.criterion}_params.log"
+        )
     for i in range(cfg.search_times):
         trial = cfg
         if cfg.regularizer_search:

@@ -227,3 +227,33 @@ def test_scanned_run_matches_python_loop(tmp_path):
 
     np.testing.assert_allclose(t_scan.f1_record, t_loop.f1_record, rtol=1e-5)
     np.testing.assert_allclose(s_scan["best_f1"], s_loop["best_f1"], rtol=1e-5)
+
+
+def test_parameter_search_modes(tmp_path, monkeypatch):
+    """Random/logspace hparam search (run.py:349-364): regularizer mode
+    samples dropout/weight_decay, mt mode walks the logspace task-weight
+    grid; each trial appends one line to the params record."""
+    from rlt_tpu.train import parameter_search
+
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_cfg("attncut", epochs=1, parameter_search=True,
+                   regularizer_search=True, search_times=2)
+    parameter_search(cfg)
+    record = tmp_path / "attncut_robust04_drmm_tks_dcg_params.log"
+    lines = [l for l in record.read_text().splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert all("dropout:" in l and "best_f1:" in l for l in lines)
+    # sampled regularizers differ between trials and lie in the search range
+    drops = [float(l.split("dropout: ")[1].split(",")[0]) for l in lines]
+    assert drops[0] != drops[1] and all(0.05 <= d <= 0.5 for d in drops)
+
+    cfg_mt = tiny_cfg("mmoecut", epochs=1, parameter_search=True,
+                      mt_search=True, search_times=2,
+                      parameter_record=str(tmp_path / "mt.log"))
+    parameter_search(cfg_mt)
+    mt_lines = [l for l in (tmp_path / "mt.log").read_text().splitlines()
+                if l.strip()]
+    assert len(mt_lines) == 2
+    # first two mt trials walk the logspace grid: 10^-2, then its next point
+    ws = [float(l.split("rerank_weight: ")[1].split(",")[0]) for l in mt_lines]
+    np.testing.assert_allclose(ws, np.logspace(-2, 1, num=250)[:2], rtol=1e-6)
