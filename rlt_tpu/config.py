@@ -57,7 +57,9 @@ class TrainConfig:
     regularizer_search: bool = False
     mt_search: bool = False
     search_times: int = 300
-    parameter_record: str = "./parameters.log"
+    # None -> search mode derives '<model>_<corpus>_<ds>_<criterion>_params.log'
+    # (run.py:350); set explicitly to append to a chosen file instead
+    parameter_record: Optional[str] = None
 
     # shape overrides (None -> derived from retrieve_data / model family,
     # reference run.py:34, :60, :70, :86); set explicitly for tiny test shapes

@@ -68,16 +68,21 @@ def _load_pickle(path: str):
         return pickle.load(f)
 
 
+def _relevance_labels(doc_scores: dict, rel_set: set) -> np.ndarray:
+    """Binary gt-membership labels in ranked order (attncut_dataloader.py:50,
+    bicut_dataloader.py:25)."""
+    return np.asarray(
+        [1.0 if doc in rel_set else 0.0 for doc in doc_scores.keys()],
+        dtype=np.float32,
+    )
+
+
 def _join_split(scores_raw: dict, stats: dict | None, gt: dict):
     """Replicates the per-query join of attncut_dataloader.py:42-57."""
     xs, ys = [], []
     for qid, doc_scores in scores_raw.items():
         scores = np.asarray(list(doc_scores.values()), dtype=np.float32)
-        rel_set = gt[qid]
-        is_rel = np.asarray(
-            [1.0 if doc in rel_set else 0.0 for doc in doc_scores.keys()],
-            dtype=np.float32,
-        )
+        is_rel = _relevance_labels(doc_scores, gt[qid])
         if stats is not None:
             feat = np.column_stack((scores, np.asarray(stats[qid], dtype=np.float32)))
         else:
@@ -138,16 +143,15 @@ def load_bicut_lazy(
         stage_dir = os.path.join(db, "bicut", f"{dataset_name}_{stage}")
         raw = _load_pickle(os.path.join(db, f"{dataset_name}_{stage}.pkl"))
         xs, ys = [], []
-        for fname in sorted(os.listdir(stage_dir)):
-            qid = fname.split(".")[0]
+        fnames = sorted(f for f in os.listdir(stage_dir) if f.endswith(".pkl"))
+        if not fnames:
+            raise ValueError(f"no per-query pkl files in {stage_dir}")
+        for fname in fnames:
+            qid = fname[: -len(".pkl")]  # qids may themselves contain dots
             feat = np.asarray(_load_pickle(os.path.join(stage_dir, fname)),
                               dtype=np.float32)
-            label = np.asarray(
-                [1.0 if doc in gt[qid] else 0.0 for doc in raw[qid].keys()],
-                dtype=np.float32,
-            )
             xs.append(feat)
-            ys.append(label)
+            ys.append(_relevance_labels(raw[qid], gt[qid]))
         return np.stack(xs), np.stack(ys)
 
     x_train, y_train = load_stage("train")

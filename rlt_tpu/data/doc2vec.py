@@ -20,6 +20,7 @@ way; `tests/test_doc2vec.py` pins that geometry.
 from __future__ import annotations
 
 import functools
+import zlib
 from dataclasses import dataclass
 
 import jax
@@ -101,8 +102,7 @@ def _epoch(doc_emb, word_emb, pairs, neg_cdf, lr, key, negatives: int):
     return doc_emb, word_emb
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "negatives"))
-def _infer(word_emb, word_ids, valid, neg_cdf, lr0, key, steps: int, negatives: int):
+def _infer_core(word_emb, word_ids, valid, neg_cdf, lr0, key, steps: int, negatives: int):
     """gensim-style ``infer_vector``: freeze word_emb, fit one fresh doc
     vector by `steps` gradient passes over the document's (padded) tokens."""
     dim = word_emb.shape[1]
@@ -130,6 +130,14 @@ def _infer(word_emb, word_ids, valid, neg_cdf, lr0, key, steps: int, negatives: 
     return vec
 
 
+@functools.lru_cache(maxsize=None)
+def _infer_batch_fn(steps: int, negatives: int):
+    """Jitted vmap of `_infer_core` over (word_ids, valid, key) — one device
+    dispatch infers a whole batch of documents."""
+    core = functools.partial(_infer_core, steps=steps, negatives=negatives)
+    return jax.jit(jax.vmap(core, in_axes=(None, 0, 0, None, None, 0)))
+
+
 @dataclass
 class Doc2Vec:
     """Trained PV-DBOW model. ``docvecs[i]`` is document i's vector; use
@@ -144,25 +152,46 @@ class Doc2Vec:
     negatives: int
     seed: int
 
-    def infer_vector(
-        self, tokens: list[str], steps: int = 40, max_len: int = 512
-    ) -> np.ndarray:
+    def _encode(self, tokens: list[str], max_len: int):
         ids = [self.vocab[t] for t in tokens if t in self.vocab][:max_len]
         word_ids = np.zeros((max_len,), dtype=np.int32)
         valid = np.zeros((max_len,), dtype=np.float32)
         word_ids[: len(ids)] = ids
         valid[: len(ids)] = 1.0
-        vec = _infer(
+        return word_ids, valid
+
+    def infer_vectors(
+        self, token_lists: list[list[str]], steps: int = 40, max_len: int = 512
+    ) -> np.ndarray:
+        """Batched ``infer_vector``: one jitted vmapped dispatch for all
+        documents. Each document gets its own PRNG key (derived from its
+        token-id content), so inits and negative draws are independent across
+        documents yet deterministic — gensim likewise seeds inference
+        per document."""
+        encoded = [self._encode(toks, max_len) for toks in token_lists]
+        word_ids = np.stack([w for w, _ in encoded])
+        valid = np.stack([v for _, v in encoded])
+        base = jax.random.PRNGKey(self.seed + 1)
+        keys = jnp.stack(
+            [
+                jax.random.fold_in(base, zlib.crc32(w.tobytes()) & 0x7FFFFFFF)
+                for w, _ in encoded
+            ]
+        )
+        vecs = _infer_batch_fn(steps, self.negatives)(
             jnp.asarray(self.wordvecs),
             jnp.asarray(word_ids),
             jnp.asarray(valid),
             jnp.asarray(self.neg_cdf),
             self.lr,
-            jax.random.PRNGKey(self.seed + 1),
-            steps,
-            self.negatives,
+            keys,
         )
-        return np.asarray(vec)
+        return np.asarray(vecs)
+
+    def infer_vector(
+        self, tokens: list[str], steps: int = 40, max_len: int = 512
+    ) -> np.ndarray:
+        return self.infer_vectors([tokens], steps=steps, max_len=max_len)[0]
 
 
 def train_doc2vec(
@@ -242,13 +271,21 @@ def doc2vec_embeddings_per_query(
     out: dict[str, np.ndarray] = {}
     if infer:
         for qid, toks in token_lists_per_query.items():
-            out[qid] = np.stack([model.infer_vector(t) for t in toks])
+            out[qid] = model.infer_vectors(toks)
         return out
     if doc_index is not None:
         for qid, toks in token_lists_per_query.items():
             rows = [doc_index[qid][i] for i in range(len(toks))]
             out[qid] = model.docvecs[rows]
         return out
+    total = sum(len(toks) for toks in token_lists_per_query.values())
+    if total != model.docvecs.shape[0]:
+        raise ValueError(
+            f"positional lookup needs the corpus to be exactly the queries' "
+            f"lists concatenated in dict order: {total} documents requested "
+            f"vs {model.docvecs.shape[0]} trained docvecs; pass doc_index= "
+            f"or infer=True instead"
+        )
     offset = 0
     for qid, toks in token_lists_per_query.items():
         out[qid] = model.docvecs[offset : offset + len(toks)]

@@ -560,8 +560,8 @@ def parameter_search(cfg: config_lib.TrainConfig) -> None:
     rng = np.random.default_rng(cfg.seed)
     task_weight_range = np.logspace(-2, 1, num=250, base=10)
     # the reference derives the record name in search mode (run.py:350);
-    # an explicitly overridden parameter_record wins here
-    if cfg.parameter_record != config_lib.TrainConfig.parameter_record:
+    # an explicitly set parameter_record wins here
+    if cfg.parameter_record is not None:
         record = cfg.parameter_record
     else:
         record = (

@@ -124,3 +124,21 @@ def test_infer_respects_max_len_padding():
     long_doc = ["a", "b"] * 600  # 1200 tokens > max_len=512
     vec = model.infer_vector(long_doc)
     assert vec.shape == (8,) and np.isfinite(vec).all()
+
+
+def test_infer_vectors_batched_matches_single():
+    corpus = [["a", "b", "c"] * 5, ["c", "b", "a"] * 5, ["b", "c"] * 5]
+    model = train_doc2vec(corpus, vector_size=8, min_count=1, epochs=2, seed=0)
+    batch = model.infer_vectors(corpus, steps=5)
+    singles = np.stack([model.infer_vector(t, steps=5) for t in corpus])
+    # vmapped vs single execution differ only by float32 fusion order
+    np.testing.assert_allclose(batch, singles, rtol=1e-4, atol=1e-7)
+    # distinct documents must not share the init/negative stream
+    assert not np.allclose(batch[0], batch[2])
+
+
+def test_positional_lookup_size_mismatch_raises():
+    corpus = [["a", "b"], ["b", "a"], ["a", "a"]]
+    model = train_doc2vec(corpus, vector_size=8, min_count=1, epochs=1, seed=0)
+    with pytest.raises(ValueError, match="doc_index"):
+        doc2vec_embeddings_per_query(model, {"q": corpus[:2]})  # 2 != 3

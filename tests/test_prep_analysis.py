@@ -225,3 +225,29 @@ def test_trec_to_training_end_to_end(tmp_path):
     )
     summary = Trainer(cfg, data=data).run()
     assert np.isfinite(summary["best_f1"])
+
+
+def test_bicut_layout_dotted_qids_and_empty_stage(tmp_path):
+    from rlt_tpu.data.datasets import load_bicut_lazy
+    from rlt_tpu.data.prep import write_bicut_layout
+
+    rng = np.random.default_rng(0)
+    # TREC qids may contain dots (e.g. '10.2'); parsing must keep them intact
+    ranked = {f"10.{i}": {f"d{i}_{j}": float(10 - j) for j in range(4)}
+              for i in range(5)}
+    gt = {q: {list(ranked[q])[0]} for q in ranked}
+    stats = {q: rng.standard_normal((4, 2)).astype(np.float32) for q in ranked}
+    write_reference_layout(str(tmp_path), "robust04", "bm25", ranked, gt, seed=0)
+    write_bicut_layout(str(tmp_path), "robust04", "bm25", ranked, stats, seed=0)
+    data = load_bicut_lazy(str(tmp_path), "robust04", "bm25")
+    assert data.x_train.shape[0] + data.x_test.shape[0] == 5
+    assert (data.y_train.sum(1) == 1).all()  # exactly the gt doc per query
+
+    # an emptied stage dir fails with an explicit message, not a stack error
+    import shutil
+    test_dir = tmp_path / "robust04" / "bicut" / "bm25_test"
+    shutil.rmtree(test_dir)
+    test_dir.mkdir()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no per-query pkl"):
+        load_bicut_lazy(str(tmp_path), "robust04", "bm25")
