@@ -121,9 +121,13 @@ def _neighbor_cos_sparse(vecs: list[dict[str, float]]) -> np.ndarray:
 def build_stat_features(
     token_lists_per_query: dict[str, list[list[str]]],
     embeddings_per_query: dict[str, np.ndarray] | None = None,
+    include_doc_stats: bool = True,
 ) -> dict[str, np.ndarray]:
     """Assemble the attncut feature block per query: [doc_len, unique_len,
     tfidf_neighbor_sim[, embedding_neighbor_sim]] (ipynb cells 72-79).
+
+    ``include_doc_stats=False`` gives the 2-feature neighbor-sim-only variant
+    [tfidf_sim, d2v_sim] of data_review.ipynb cells 19-20 (`simi_list`).
 
     tf-idf uses corpus-level idf (the reference trains one tf-idf model on the
     whole corpus, document_statics.ipynb cells 19-21) and stays sparse — no
@@ -132,10 +136,28 @@ def build_stat_features(
     idf = corpus_idf(all_docs)
     out = {}
     for qid, toks in token_lists_per_query.items():
-        stats = doc_stats(toks)
         vecs = tfidf_sparse(toks, idf)
-        cols = [stats, _neighbor_cos_sparse(vecs)[:, None]]
+        cols = [] if not include_doc_stats else [doc_stats(toks)]
+        cols.append(_neighbor_cos_sparse(vecs)[:, None])
         if embeddings_per_query is not None:
             cols.append(neighbor_cosine_similarity(embeddings_per_query[qid])[:, None])
         out[qid] = np.concatenate(cols, axis=1).astype(np.float32)
+    return out
+
+
+def build_bicut_features(
+    token_lists_per_query: dict[str, list[list[str]]],
+) -> dict[str, np.ndarray]:
+    """The bicut feature block per query: [doc_len, unique_len,
+    dense L2-normalized tf-idf vector] (document_statics.ipynb cells 62-66 —
+    the reference's 231448-wide `bicut_<ds>_input.pkl`). The dense width here
+    is this corpus's vocabulary size; pair with `prep.write_bicut_layout`."""
+    all_docs = [t for toks in token_lists_per_query.values() for t in toks]
+    dense_all, _ = tfidf_vectors(all_docs)  # corpus-level idf, one tf-idf model
+    out: dict[str, np.ndarray] = {}
+    offset = 0
+    for qid, toks in token_lists_per_query.items():
+        dense = dense_all[offset : offset + len(toks)]
+        offset += len(toks)
+        out[qid] = np.concatenate([doc_stats(toks), dense], axis=1).astype(np.float32)
     return out

@@ -161,3 +161,41 @@ def test_shard_helpers_return_arrays():
     data = synthetic_dataset(num_queries=10, seq_len=8, num_features=3, seed=0)
     xt, yt, xe, ye = shard_dataset(data, mesh)
     assert xt.shape[0] % 2 == 0 and xt.shape[1:] == (8, 3)
+
+
+def test_simi_list_two_feature_variant():
+    """data_review.ipynb cells 19-20: attncut features as just
+    [tfidf_sim, d2v_sim] (simi_list), no doc-length stats."""
+    from rlt_tpu.data.features import build_stat_features
+
+    rng = np.random.default_rng(0)
+    per_query = {"q1": [list(rng.choice(["a", "b", "c", "d"], size=6))
+                        for _ in range(4)]}
+    emb = {"q1": rng.standard_normal((4, 8)).astype(np.float32)}
+    full = build_stat_features(per_query, embeddings_per_query=emb)
+    two = build_stat_features(per_query, embeddings_per_query=emb,
+                              include_doc_stats=False)
+    assert full["q1"].shape == (4, 4) and two["q1"].shape == (4, 2)
+    np.testing.assert_array_equal(two["q1"], full["q1"][:, 2:])
+
+
+def test_bicut_dense_tfidf_features():
+    """document_statics.ipynb cells 62-66: bicut block = [len, uniq,
+    dense corpus-level tf-idf], rows L2-normalized."""
+    from rlt_tpu.data.features import build_bicut_features
+
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(12)]
+    per_query = {
+        "q1": [list(rng.choice(vocab, size=8)) for _ in range(3)],
+        "q2": [list(rng.choice(vocab, size=8)) for _ in range(2)],
+    }
+    feats = build_bicut_features(per_query)
+    n_vocab = len({t for toks in per_query.values() for doc in toks for t in doc})
+    assert feats["q1"].shape == (3, 2 + n_vocab)
+    assert feats["q2"].shape == (2, 2 + n_vocab)
+    # doc stats in the first two columns
+    np.testing.assert_array_equal(feats["q1"][:, 0], 8.0)
+    # dense tf-idf rows are L2-normalized (or all-zero)
+    norms = np.linalg.norm(feats["q1"][:, 2:], axis=1)
+    assert ((np.abs(norms - 1.0) < 1e-5) | (norms == 0)).all()
