@@ -257,3 +257,88 @@ def test_parameter_search_modes(tmp_path, monkeypatch):
     # first two mt trials walk the logspace grid: 10^-2, then its next point
     ws = [float(l.split("rerank_weight: ")[1].split(",")[0]) for l in mt_lines]
     np.testing.assert_allclose(ws, np.logspace(-2, 1, num=250)[:2], rtol=1e-6)
+
+
+def test_bicut_lockstep_trajectory_matches_torch():
+    """End-to-end training-dynamics parity: our BiCut + bicut_loss + Adam-L2
+    tracks a torch twin (same init, same batch order, dropout=0) step for
+    step. This pins the FULL pipeline — forward, loss gradient, optimizer —
+    not just each piece in isolation (models/Bicut.py:5-21, losses.py:11-45,
+    run.py:104)."""
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from rlt_tpu.models.simple import BiCut
+    from rlt_tpu.utils.losses import bicut_loss
+
+    B, L, F, H, FC = 6, 24, 3, 8, 16
+    lr, wd, alpha, r = 1e-3, 2e-3, 0.65, 0.0971134020
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(4, B, L, F)).astype(np.float32)
+    ys = (rng.random((4, B, L)) < 0.2).astype(np.float32)
+
+    torch.manual_seed(0)
+    lstm = torch.nn.LSTM(F, H, num_layers=2, batch_first=True,
+                         bidirectional=True)
+    fc = torch.nn.Linear(2 * H, FC)
+    dec = torch.nn.Linear(FC, 2)
+
+    def torch_forward(x):
+        return torch.softmax(dec(torch.relu(fc(lstm(x)[0]))), dim=2)
+
+    def torch_loss(out, y):
+        # the 'dcg' (non-nci) reward branch + first-truncate masking
+        decisions = out.argmax(-1)
+        all_cont = decisions.sum(-1) == L
+        last_trunc = L - 1 - torch.flip(decisions, [1]).argmin(1)
+        cut = torch.where(all_cont, torch.full_like(last_trunc, L), last_trunc)
+        mask = (torch.arange(L)[None, :] <= cut[:, None]).float()
+        rew_t = torch.where(y == 1, (1 - alpha) / r, torch.zeros(()))
+        rew_c = torch.where(y == 1, torch.zeros(()), alpha / (1 - r))
+        return ((out[..., 0] * rew_t + out[..., 1] * rew_c) * mask).sum() / B
+
+    opt = torch.optim.Adam(
+        list(lstm.parameters()) + list(fc.parameters()) + list(dec.parameters()),
+        lr=lr, weight_decay=wd)
+
+    model = BiCut(input_size=F, lstm_hidden_size=H, fc_dimensions=FC,
+                  dropout=0.0)
+    params = {
+        "bilstm": {k: jnp.array(v.numpy()) for k, v in lstm.state_dict().items()},
+        "fc": {"weight": jnp.array(fc.weight.detach().numpy()),
+               "bias": jnp.array(fc.bias.detach().numpy())},
+        "decision": {"weight": jnp.array(dec.weight.detach().numpy()),
+                     "bias": jnp.array(dec.bias.detach().numpy())},
+    }
+    want_shapes = jax.tree.map(
+        np.shape,
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, L, F)))["params"])
+    assert jax.tree.map(np.shape, params) == want_shapes
+
+    ours_opt = make_optimizer(lr, wd)
+    opt_state = ours_opt.init(params)
+
+    def loss_fn(p, x, y):
+        return bicut_loss(model.apply({"params": p}, x), y, metric="dcg",
+                          alpha=alpha, r=r)
+
+    @jax.jit
+    def step(p, s, x, y):
+        l, g = jax.value_and_grad(loss_fn)(p, x, y)
+        updates, s = ours_opt.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    for i in range(xs.shape[0]):
+        opt.zero_grad()
+        tl = torch_loss(torch_forward(torch.tensor(xs[i])), torch.tensor(ys[i]))
+        tl.backward()
+        opt.step()
+        params, opt_state, ol = step(params, opt_state, jnp.asarray(xs[i]),
+                                     jnp.asarray(ys[i]))
+        np.testing.assert_allclose(float(ol), tl.item(), rtol=1e-4)
+
+    # after 4 optimizer steps the decision head must still agree to float eps
+    np.testing.assert_allclose(
+        np.asarray(params["decision"]["weight"]), dec.weight.detach().numpy(),
+        rtol=1e-3, atol=1e-5)
