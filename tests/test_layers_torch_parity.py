@@ -79,3 +79,34 @@ def test_pallas_attention_matches_xla(rng):
         fused_attention(jnp.array(q), jnp.array(k), jnp.array(v), interpret=True)
     )
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_bicut_init_distribution_matches_torch():
+    """The init path is the one thing the lockstep trajectory test bypasses
+    (it copies torch weights). Pin it analytically: torch inits every LSTM
+    parameter U(-1/sqrt(H), 1/sqrt(H)) and Linear weight+bias
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (kaiming_uniform(a=sqrt(5)) ==
+    that bound for weights); our BiCut must draw from the same families
+    (models/Bicut.py:5-21, torch nn.LSTM/nn.Linear reset_parameters)."""
+    import jax.numpy as jnp
+
+    from rlt_tpu.models.simple import BiCut
+
+    model = BiCut(input_size=3, dropout=0.0)  # default H=128, fc 256
+    params = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 3)))["params"]
+
+    checks = [(f"bilstm/{k}", v, 1 / np.sqrt(128))
+              for k, v in params["bilstm"].items()]
+    for mod in ("fc", "decision"):
+        for k in ("weight", "bias"):
+            checks.append((f"{mod}/{k}", params[mod][k], 1 / np.sqrt(256)))
+
+    for name, v, bound in checks:
+        v = np.asarray(v).ravel()
+        assert np.abs(v).max() <= bound, name
+        if v.size >= 256:  # enough samples for tight moment checks
+            np.testing.assert_allclose(v.std(), bound / np.sqrt(3), rtol=0.1,
+                                       err_msg=name)
+            assert abs(v.mean()) < 0.15 * bound, name
+            # genuinely uniform, not gaussian-clipped: mass near the edges
+            assert (np.abs(v) > 0.9 * bound).mean() > 0.05, name

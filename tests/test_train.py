@@ -259,12 +259,36 @@ def test_parameter_search_modes(tmp_path, monkeypatch):
     np.testing.assert_allclose(ws, np.logspace(-2, 1, num=250)[:2], rtol=1e-6)
 
 
+def _reference_bicut_loss_module():
+    """The reference's own BiCutLoss (non-circular oracle), if the reference
+    tree is present; None otherwise."""
+    import pathlib
+    import sys
+    import types
+
+    ref = pathlib.Path("/root/reference")
+    if not (ref / "utils" / "losses.py").exists():
+        return None
+    # the reference imports numpy.lib.financial (removed in numpy>=1.20)
+    fin = types.ModuleType("numpy.lib.financial")
+    fin.irr = lambda *a, **k: None
+    sys.modules.setdefault("numpy.lib.financial", fin)
+    sys.path.insert(0, str(ref))
+    try:
+        from utils import losses as ref_losses
+    finally:
+        sys.path.remove(str(ref))
+    return ref_losses.BiCutLoss(metric="dcg")
+
+
 def test_bicut_lockstep_trajectory_matches_torch():
     """End-to-end training-dynamics parity: our BiCut + bicut_loss + Adam-L2
     tracks a torch twin (same init, same batch order, dropout=0) step for
     step. This pins the FULL pipeline — forward, loss gradient, optimizer —
     not just each piece in isolation (models/Bicut.py:5-21, losses.py:11-45,
-    run.py:104)."""
+    run.py:104). When /root/reference is present, every step's loss is also
+    checked against the reference's actual BiCutLoss so the torch twin
+    cannot silently share a misreading with our implementation."""
     import jax.numpy as jnp
     import optax
     import torch
@@ -329,11 +353,27 @@ def test_bicut_lockstep_trajectory_matches_torch():
         updates, s = ours_opt.update(g, s, p)
         return optax.apply_updates(p, updates), s, l
 
+    ref_crit = _reference_bicut_loss_module()
+
+    def decode(out):
+        decisions = np.asarray(out).argmax(-1)
+        return np.array([L if d.sum() == L else int(np.argmin(d)) + 1
+                         for d in decisions])
+
     for i in range(xs.shape[0]):
         opt.zero_grad()
-        tl = torch_loss(torch_forward(torch.tensor(xs[i])), torch.tensor(ys[i]))
+        tout = torch_forward(torch.tensor(xs[i]))
+        tl = torch_loss(tout, torch.tensor(ys[i]))
+        if ref_crit is not None:
+            # the reference's own BiCutLoss as a non-circular oracle
+            rl = ref_crit(tout.detach(), torch.tensor(ys[i]))
+            np.testing.assert_allclose(tl.item(), rl.item(), rtol=1e-5)
         tl.backward()
         opt.step()
+        # predicted cuts agree before each update (run.py:131-136 decode)
+        ours_out = model.apply({"params": params}, jnp.asarray(xs[i]))
+        np.testing.assert_array_equal(decode(ours_out),
+                                      decode(tout.detach().numpy()))
         params, opt_state, ol = step(params, opt_state, jnp.asarray(xs[i]),
                                      jnp.asarray(ys[i]))
         np.testing.assert_allclose(float(ol), tl.item(), rtol=1e-4)
