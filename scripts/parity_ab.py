@@ -22,7 +22,8 @@ import numpy as np
 
 
 def make_dataset(tmp: str, seed: int = 0, num_queries: int = 250,
-                 retrieve_data: str = "robust04", num_features: int = 3):
+                 retrieve_data: str = "robust04", num_features: int = 3,
+                 dataset_name: str = "drmm_tks"):
     from rlt_tpu.data import synthetic_dataset
     from rlt_tpu.data.datasets import synthetic_config
     from rlt_tpu.data.prep import write_reference_layout
@@ -30,7 +31,7 @@ def make_dataset(tmp: str, seed: int = 0, num_queries: int = 250,
     seq_len = 300 if retrieve_data == "robust04" else 40
     data = synthetic_dataset(
         num_queries=num_queries, seq_len=seq_len, num_features=num_features,
-        seed=seed, **synthetic_config(retrieve_data, "drmm_tks"),
+        seed=seed, **synthetic_config(retrieve_data, dataset_name),
     )
 
     # express the arrays in the reference's on-disk layout: per-query ordered
@@ -59,10 +60,10 @@ def make_dataset(tmp: str, seed: int = 0, num_queries: int = 250,
                           ("test", (data.x_test, data.y_test))):
         ranked, stats, gt = to_layout(x, y, split)
         merged_gt.update({q: sorted(v) for q, v in gt.items()})
-        with open(f"{db}/drmm_tks_{split}.pkl", "wb") as f:
+        with open(f"{db}/{dataset_name}_{split}.pkl", "wb") as f:
             pickle.dump(ranked, f)
         for stats_dir in ("attncut", "mtcut"):
-            with open(f"{db}/{stats_dir}/drmm_tks_{split}.pkl", "wb") as f:
+            with open(f"{db}/{stats_dir}/{dataset_name}_{split}.pkl", "wb") as f:
                 pickle.dump({q: np.asarray(s).tolist() for q, s in stats.items()},
                             f)
     with open(f"{db}/gt.pkl", "wb") as f:
@@ -73,7 +74,7 @@ def make_dataset(tmp: str, seed: int = 0, num_queries: int = 250,
 def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
                     weight_decay: float, batch_size: int, seed: int = 0,
                     model_name: str = "attncut", retrieve_data: str = "robust04",
-                    num_features: int = 3):
+                    num_features: int = 3, dataset_name: str = "drmm_tks"):
     """Train the reference model with its own modules (run.py recipe)."""
     import torch as t
 
@@ -99,10 +100,10 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         import dataloader.mtcut_dataloader as mdl
 
         mdl.DATASET_BASE = tmp
-        train_loader, test_loader, _ = mdl.dataloader(retrieve_data, "drmm_tks",
+        train_loader, test_loader, _ = mdl.dataloader(retrieve_data, dataset_name,
                                                       batch_size)
     else:
-        train_loader, test_loader, _ = adl.dataloader(retrieve_data, "drmm_tks",
+        train_loader, test_loader, _ = adl.dataloader(retrieve_data, dataset_name,
                                                       batch_size)
 
     if model_name == "mmoecut":
@@ -117,7 +118,7 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         from models import Choopy
 
         cdl.DATASET_BASE = tmp
-        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, "drmm_tks",
+        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, dataset_name,
                                                       batch_size)
         model = Choopy(seq_len=seq_len, dropout=dropout)
         criterion = ref_losses.ChoopyLoss(metric="dcg")
@@ -133,7 +134,7 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         from models import MtChoopy
 
         cdl.DATASET_BASE = tmp
-        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, "drmm_tks",
+        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, dataset_name,
                                                       batch_size)
         model = MtChoopy(seq_len=seq_len, num_tasks=3, dropout=dropout)
         criterion = ref_losses.MtCutLoss(metric="dcg", num_tasks=3)
@@ -202,12 +203,13 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
 
 def train_ours(data, epochs: int, lr: float, dropout: float,
                weight_decay: float, batch_size: int, seed: int = 0,
-               model_name: str = "attncut", retrieve_data: str = "robust04"):
+               model_name: str = "attncut", retrieve_data: str = "robust04",
+               dataset_name: str = "drmm_tks"):
     from rlt_tpu.config import TrainConfig
     from rlt_tpu.train import Trainer
 
     cfg = TrainConfig(
-        model_name=model_name, dataset_name="drmm_tks", epochs=epochs, lr=lr,
+        model_name=model_name, dataset_name=dataset_name, epochs=epochs, lr=lr,
         dropout=dropout, weight_decay=weight_decay, batch_size=batch_size,
         seed=seed, log_dir="/tmp/rlt_tpu_parity_runs",
         retrieve_data=retrieve_data,
@@ -234,6 +236,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--retrieve-data", type=str, default="robust04",
                    help="robust04 (L=300, F=3) | mq2007 (L=40, F=25/47)")
+    p.add_argument("--dataset-name", type=str, default="drmm_tks",
+                   help="drmm_tks | bm25 | drmm (selects the synthetic "
+                        "calibration and the pkl file names)")
     p.add_argument("--out", type=str, default="PARITY_AB.json")
     args = p.parse_args()
 
@@ -248,20 +253,24 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         data = make_dataset(tmp, seed=args.seed,
                             retrieve_data=args.retrieve_data,
-                            num_features=num_features)
+                            num_features=num_features,
+                            dataset_name=args.dataset_name)
         ours = train_ours(data, args.epochs, args.lr, args.dropout,
                           args.weight_decay, args.batch_size, args.seed,
                           model_name=args.model,
-                          retrieve_data=args.retrieve_data)
+                          retrieve_data=args.retrieve_data,
+                          dataset_name=args.dataset_name)
         ref = train_reference(tmp, args.epochs, args.lr, args.dropout,
                               args.weight_decay, args.batch_size, args.seed,
                               model_name=args.model,
                               retrieve_data=args.retrieve_data,
+                              dataset_name=args.dataset_name,
                               num_features=num_features)
     result = {"reference_torch": ref, "rlt_tpu": ours,
               "config": {k: getattr(args, k) for k in
                          ("model", "epochs", "lr", "dropout", "weight_decay",
-                          "batch_size", "seed", "retrieve_data")}}
+                          "batch_size", "seed", "retrieve_data",
+                          "dataset_name")}}
     print(json.dumps(result, indent=2))
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
