@@ -49,14 +49,13 @@ class RankedListData:
 
 def dataset_feature_dim(model_name: str, retrieve_data: str) -> int:
     """Feature width per model family (reference run.py:60, :70, :86).
-    Choopy-family models are always scores-only (cp_dataloader yields F=1)."""
-    if model_name in ("choopy", "mtchoopy"):
-        return 1
-    if retrieve_data == "robust04":
-        return 3
-    if model_name in ("mmoecut", "moecut", "mtple", "probe_base"):
-        return 47
-    return 25
+
+    Delegates to the single table in TrainConfig.input_size so the two can
+    never drift."""
+    from rlt_tpu.config import TrainConfig
+
+    return TrainConfig(model_name=model_name,
+                       retrieve_data=retrieve_data).input_size
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,8 @@ def neighbor_cosine_similarity(doc_vectors: np.ndarray) -> np.ndarray:
     sim_next = np.sum(v[:-1] * v[1:], axis=1)  # cos(i, i+1), length L-1
     length = v.shape[0]
     out = np.zeros((length,), dtype=np.float32)
+    if length < 2:  # a single-doc list has no neighbors
+        return out
     out[0] = sim_next[0]
     out[-1] = sim_next[-1]
     if length > 2:
@@ -111,6 +113,8 @@ def _neighbor_cos_sparse(vecs: list[dict[str, float]]) -> np.ndarray:
         dtype=np.float32,
     )
     out = np.zeros((length,), dtype=np.float32)
+    if length < 2:  # a single-doc list has no neighbors
+        return out
     out[0] = sim_next[0]
     out[-1] = sim_next[-1]
     if length > 2:

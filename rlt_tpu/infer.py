@@ -27,6 +27,12 @@ class Predictor:
     """Jitted truncation predictor for one model family."""
 
     def __init__(self, cfg: TrainConfig, params=None):
+        if cfg.model_name == "probe_base":
+            # ProbeBase returns (experts_in, experts_o, final_output) for the
+            # probing harness — it has no cut-inference contract; probe it
+            # through rlt_tpu.verify_probe instead (reference Probe.py:99)
+            raise ValueError("probe_base is a probing vehicle, not an "
+                             "inference model; use rlt_tpu.verify_probe")
         self.cfg = cfg
         use_pallas = cfg.use_pallas_attention and pallas_supported()
         self.model = build_model(

@@ -72,9 +72,12 @@ def make_criterion(cfg: config_lib.TrainConfig) -> Callable:
     mtple -> MtCutLoss WITHOUT weights (torch defaults 0.5/0.5).
     """
     name, metric = cfg.model_name, cfg.criterion
-    if cfg.loss_override and name in ("bicut", "choopy", "attncut"):
+    if cfg.loss_override and name in ("choopy", "attncut"):
         # run.py:73-75 keeps AttnCutLoss / WassDistLoss as commented-out
-        # alternatives to DivLoss; expose them as a first-class switch
+        # alternatives to DivLoss; expose them as a first-class switch for
+        # the models whose output IS a distribution over positions. BiCut's
+        # (B, L, 2) per-position pair-softmax is not, so these losses would
+        # be silently meaningless there — fall through to BiCutLoss instead.
         if cfg.loss_override == "wass":
             return losses_lib.wass_dist_loss
         if cfg.loss_override == "attncut":
@@ -344,11 +347,17 @@ class Trainer:
         # snapshots every epoch, the scanned path every scan block.
         if not cfg.draw and profile_dir is None:
             return self._run_scanned(start_epoch)
+        tracing = False
         for epoch in range(start_epoch, cfg.epochs):
-            if profile_dir is not None and epoch == 1:
+            # trace epochs 1-3 (skipping epoch 0's compile); on resume the
+            # window may start mid-range or not at all — only stop what was
+            # actually started
+            if profile_dir is not None and not tracing and 1 <= epoch < 4:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir is not None and epoch == 4:
+                tracing = True
+            if tracing and epoch == 4:
                 jax.profiler.stop_trace()
+                tracing = False
             start = time.time()
             self.epoch_key, sub = jax.random.split(self.epoch_key)
             self.state, metrics = self.epoch_fn(self.state, self.data, sub)
@@ -384,7 +393,7 @@ class Trainer:
                 metrics["test_loss"], metrics["test_f1"], metrics["test_dcg"],
             )
 
-        if profile_dir is not None and 2 <= cfg.epochs <= 4:
+        if tracing:
             jax.profiler.stop_trace()
         return self._summarize()
 
@@ -474,7 +483,12 @@ class Trainer:
         params = self.state.params
         x, y = self.data.x_test, self.data.y_test
         output = self.model.apply({"params": params}, x, deterministic=True)
-        cut = output[-1] if "m" in self.model_name else output
+        if self.model_name == "bicut":
+            # run.py:132-136 + :190-191: the reference plots the binary
+            # argmax decision sequence, not p(truncate)
+            cut = jnp.argmax(output, axis=2).astype(jnp.float32)
+        else:
+            cut = output[-1] if "m" in self.model_name else output
         plot_reward_vs_prediction(
             np.asarray(y), np.asarray(cut[..., 0] if cut.ndim == 3 else cut),
             metric=self.cfg.criterion, epoch=epoch,

@@ -201,9 +201,23 @@ def bce_loss(
     *,
     valid: jax.Array | None = None,
 ) -> jax.Array:
-    p = jnp.clip(_squeeze_last(output), 1e-12, 1.0 - 1e-12)
+    p = _squeeze_last(output)
     y = labels.astype(jnp.float32)
-    pointwise = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
+    # torch BCELoss clamps each log term at -100 so a saturated sigmoid
+    # (p == 1.0f on an irrelevant doc, or p == 0.0f on a relevant one) yields
+    # a large FINITE loss with zero gradient for that element instead of
+    # inf/NaN poisoning the whole run (torch/nn/functional binary_cross_entropy
+    # semantics; in float32 `1.0 - 1e-12` rounds back to 1.0, so an eps-clip
+    # on p cannot provide this guarantee). The inner where/maximum keeps the
+    # backward NaN-free: jnp.log's gradient at 0 is inf even when the forward
+    # value is later clamped.
+    tiny = jnp.finfo(jnp.float32).tiny
+    q = 1.0 - p
+    log_p = jnp.maximum(
+        jnp.where(p <= 0.0, -jnp.inf, jnp.log(jnp.maximum(p, tiny))), -100.0)
+    log_1mp = jnp.maximum(
+        jnp.where(q <= 0.0, -jnp.inf, jnp.log(jnp.maximum(q, tiny))), -100.0)
+    pointwise = -(y * log_p + (1.0 - y) * log_1mp)
     w, n = _row_weights(p.shape[0], valid)
     return jnp.sum(jnp.sum(pointwise, axis=-1) * w) / (n * p.shape[-1])
 

@@ -1,4 +1,8 @@
-"""Platform detection: where will jitted code actually run?"""
+"""Platform detection: where will jitted code actually run?
+
+No analogue in the reference — its only device decision is a bare cuda
+autodetect (run.py:106-108, :332). Here the answer gates the Pallas
+attention path (TPU-only; XLA fallback elsewhere)."""
 
 from __future__ import annotations
 

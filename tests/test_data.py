@@ -199,3 +199,14 @@ def test_bicut_dense_tfidf_features():
     # dense tf-idf rows are L2-normalized (or all-zero)
     norms = np.linalg.norm(feats["q1"][:, 2:], axis=1)
     assert ((np.abs(norms - 1.0) < 1e-5) | (norms == 0)).all()
+
+
+def test_neighbor_cosine_single_document_list():
+    """A one-document ranked list has no neighbors: the similarity feature is
+    0, not an IndexError aborting the offline pipeline (document_statics.ipynb
+    cells 44-57 always has >=2 docs; the degenerate case must still not
+    crash)."""
+    from rlt_tpu.data.features import neighbor_cosine_similarity
+
+    out = neighbor_cosine_similarity(np.ones((1, 4), dtype=np.float32))
+    np.testing.assert_array_equal(out, np.zeros((1,), dtype=np.float32))

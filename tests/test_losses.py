@@ -218,3 +218,22 @@ def test_wass_loss_padding_invariant():
     padded = float(L.wass_dist_loss(jnp.asarray(p_pad), jnp.asarray(y_pad),
                                     valid=valid, **kw))
     np.testing.assert_allclose(padded, base, rtol=1e-3, atol=1e-4)
+
+
+def test_bce_saturated_matches_torch_clamp(rng):
+    """torch BCELoss clamps each log term at -100, so exactly-saturated
+    probabilities (p==0 on a relevant doc / p==1 on an irrelevant one) give a
+    large FINITE loss with finite gradients instead of inf/NaN — the failure
+    mode that would silently kill an mtcut-family run once a classi head
+    saturates (torch binary_cross_entropy semantics)."""
+    import jax
+
+    p = np.array([[0.0, 1.0, 0.5, 0.3]], dtype=np.float32)
+    y = np.array([[1.0, 0.0, 1.0, 0.0]], dtype=np.float32)
+    val, grad = jax.value_and_grad(
+        lambda q: L.bce_loss(q[..., None], jnp.array(y)))(jnp.array(p))
+    tp = torch.tensor(p, requires_grad=True)
+    tl = torch.nn.BCELoss()(tp, torch.tensor(y))
+    tl.backward()
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(grad)).all()
+    np.testing.assert_allclose(float(val), tl.item(), rtol=1e-6)

@@ -382,3 +382,23 @@ def test_bicut_lockstep_trajectory_matches_torch():
     np.testing.assert_allclose(
         np.asarray(params["decision"]["weight"]), dec.weight.detach().numpy(),
         rtol=1e-3, atol=1e-5)
+
+
+def test_loss_override_ignored_for_bicut():
+    """BiCut's (B, L, 2) pair-softmax is not a distribution over positions;
+    the single-task loss switch (run.py:73-75 alternatives) must not reroute
+    it away from BiCutLoss."""
+    import functools
+
+    from rlt_tpu.utils import losses as L
+
+    crit = make_criterion(tiny_cfg("bicut", loss_override="div"))
+    assert isinstance(crit, functools.partial)
+    assert crit.func is L.bicut_loss
+
+
+def test_predictor_rejects_probe_base():
+    from rlt_tpu.infer import Predictor
+
+    with pytest.raises(ValueError, match="probe_base"):
+        Predictor(tiny_cfg("probe_base"))
