@@ -11,6 +11,7 @@ Prints ONE JSON line: metric/value/unit/vs_baseline (+detail fields).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -41,7 +42,7 @@ def main(quick: bool = False) -> None:
     cfg = config_lib.apply_preset(cfg)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
-        cfg = config_lib.TrainConfig(**{**cfg.__dict__, "use_pallas_attention": False})
+        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
 
     trainer = Trainer(cfg)
     data = trainer.data

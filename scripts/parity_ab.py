@@ -94,7 +94,15 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
 
     adl.DATASET_BASE = tmp  # reference hardcodes a lab path (run.py:22)
     seq_len = 300 if retrieve_data == "robust04" else 40
-    if (model_name in ("mmoecut", "moecut", "mtple")
+    # loader routing exactly as run.py:59-103: choopy family -> cp_dataloader,
+    # mq2007 mmoe family -> mc_dataloader, everything else -> at_dataloader
+    if model_name in ("choopy", "mtchoopy"):
+        import dataloader.choopy_dataloader as cdl
+
+        cdl.DATASET_BASE = tmp
+        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, dataset_name,
+                                                      batch_size)
+    elif (model_name in ("mmoecut", "moecut", "mtple")
             and retrieve_data != "robust04"):
         # run.py:87-90/:94/:100: mq2007 mmoe-family stats via mc_dataloader
         import dataloader.mtcut_dataloader as mdl
@@ -114,12 +122,8 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         criterion = ref_losses.MtCutLoss(metric="dcg", num_tasks=3)
     elif model_name == "choopy":
         # run.py:65-68: scores-only loader, Choopy + ChoopyLoss
-        import dataloader.choopy_dataloader as cdl
         from models import Choopy
 
-        cdl.DATASET_BASE = tmp
-        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, dataset_name,
-                                                      batch_size)
         model = Choopy(seq_len=seq_len, dropout=dropout)
         criterion = ref_losses.ChoopyLoss(metric="dcg")
     elif model_name == "bicut":
@@ -130,12 +134,8 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         criterion = ref_losses.BiCutLoss(metric="dcg")  # run.py:64 w/ --criterion dcg
     elif model_name == "mtchoopy":
         # run.py:76-80: scores-only loader, MtCutLoss with conf weights (0.5/0.5)
-        import dataloader.choopy_dataloader as cdl
         from models import MtChoopy
 
-        cdl.DATASET_BASE = tmp
-        train_loader, test_loader, _ = cdl.dataloader(retrieve_data, dataset_name,
-                                                      batch_size)
         model = MtChoopy(seq_len=seq_len, num_tasks=3, dropout=dropout)
         criterion = ref_losses.MtCutLoss(metric="dcg", num_tasks=3)
     elif model_name == "mtattncut":
@@ -158,9 +158,11 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
         model = PLECut(seq_len=seq_len, input_size=num_features,
                        dropout=dropout, num_experts=3)
         criterion = ref_losses.MtCutLoss(metric="dcg", num_tasks=3)
-    else:
+    elif model_name == "attncut":
         model = AttnCut(input_size=num_features, dropout=dropout)
         criterion = ref_losses.DivLoss(metric="dcg", div_type="js", augmented=True)
+    else:
+        raise ValueError(f"no reference-side recipe for model {model_name!r}")
     optimizer = t.optim.Adam(model.parameters(), lr=lr, weight_decay=weight_decay)
 
     f1_rec, dcg_rec = [], []
@@ -183,9 +185,10 @@ def train_reference(tmp: str, epochs: int, lr: float, dropout: float,
                           else int(np.argmin(p)) + 1 for p in preds]
                 else:
                     # run.py:137-142: multi-task models ('m' in name) decode
-                    # the LAST head
+                    # the LAST head. Squeeze only the feature axis so a
+                    # 1-row final batch keeps its batch dimension.
                     out = (raw[-1] if "m" in model_name else raw)
-                    out = out.detach().squeeze().numpy()
+                    out = out.detach().numpy().squeeze(-1)
                     ks = np.argmax(out, axis=1) + 1
                 yn = y.numpy()
                 f1s.append(Metric.f1(yn, ks))
@@ -213,6 +216,11 @@ def train_ours(data, epochs: int, lr: float, dropout: float,
         dropout=dropout, weight_decay=weight_decay, batch_size=batch_size,
         seed=seed, log_dir="/tmp/rlt_tpu_parity_runs",
         retrieve_data=retrieve_data,
+        # match the torch side exactly: train_reference builds MtCutLoss with
+        # its ctor defaults 0.5/0.5 (reference losses.py:170) for every
+        # multi-task model, which also equals the published conf weights for
+        # mtchoopy/mtattncut; TrainConfig's argparse defaults are 0.3/0.4
+        rerank_weight=0.5, class_weight=0.5,
     )
     if model_name in ("choopy", "mtchoopy"):  # scores-only (cp_dataloader)
         import dataclasses

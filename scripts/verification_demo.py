@@ -29,6 +29,13 @@ from rlt_tpu.verify_probe import ProbeTrainer  # noqa: E402
 OUT = "VERIFICATION.json"
 
 
+def _flush(results):
+    """Rewrite the record after every stage so a late failure (probe phase,
+    tunnel drop) cannot discard hours of earlier results."""
+    with open(OUT, "w") as f:
+        json.dump(results, f, indent=2)
+
+
 def main():
     results = {}
 
@@ -37,6 +44,7 @@ def main():
                                    model_persist=True, save_path="/tmp/rlt_best",
                                    log_dir="/tmp/rlt_verify_runs"))
     results["trunk_train"] = Trainer(cfg).run()
+    _flush(results)
 
     # 1. aux-task learnability: raw features vs frozen trunk (20 epochs each)
     for verify_type, name in (("c", "classification_auc"), ("r", "rerank_dcg")):
@@ -51,6 +59,7 @@ def main():
             key = f"bmt_{name}_{'frozen_trunk' if ft else 'raw_features'}"
             results[key] = {"final": record[-1], "best": max(record)}
             print(key, results[key], flush=True)
+            _flush(results)
 
     # 2. representation probing (base 20 epochs, probes 60 epochs)
     pcfg = TrainConfig(model_name="probe_base", batch_size=20, lr=1e-5,
@@ -61,9 +70,7 @@ def main():
     results["probing"] = probing_convergence(curves)
     results["probe_base_best_f1"] = trainer.best_test_f1
     print("probing", json.dumps(results["probing"]), flush=True)
-
-    with open(OUT, "w") as f:
-        json.dump(results, f, indent=2)
+    _flush(results)
 
 
 if __name__ == "__main__":
