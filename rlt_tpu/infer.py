@@ -84,3 +84,67 @@ class Predictor:
             ks, _ = self._predict(self.params, x)
         jax.block_until_ready(ks)
         return batch_size * iters / (time.perf_counter() - start)
+
+
+def main(argv=None):
+    """CLI: predict cut positions for a dataset's test split.
+
+    The reference has no inference entry point; this serves the trained
+    checkpoints it produces. Loads reference-layout pkls when --dataset-base
+    is given, else the calibrated synthetic corpus."""
+    import argparse
+    import json
+
+    from rlt_tpu.data import load_pkl_dataset, synthetic_dataset
+    from rlt_tpu.data.datasets import synthetic_config
+    from rlt_tpu.utils import metrics as metrics_lib
+
+    p = argparse.ArgumentParser(description="rlt_tpu truncation inference")
+    p.add_argument("--model-name", type=str, default="attncut")
+    p.add_argument("--model-path", type=str, default=None,
+                   help="checkpoint from training (--model-persist)")
+    p.add_argument("--dataset-base", type=str, default=None)
+    p.add_argument("--retrieve-data", type=str, default="robust04")
+    p.add_argument("--dataset-name", type=str, default="drmm_tks")
+    p.add_argument("--throughput", action="store_true",
+                   help="also report steady-state ranked-lists/sec")
+    p.add_argument("--out", type=str, default=None, help="write JSON here")
+    args = p.parse_args(argv)
+
+    cfg = TrainConfig(model_name=args.model_name, model_path=args.model_path,
+                      retrieve_data=args.retrieve_data,
+                      dataset_name=args.dataset_name,
+                      dataset_base=args.dataset_base)
+    family = ("choopy" if cfg.model_name in ("choopy", "mtchoopy")
+              else "mtcut" if cfg.retrieve_data != "robust04"
+              and cfg.model_name in ("mmoecut", "moecut", "mtple")
+              else "attncut")
+    if cfg.dataset_base:
+        data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
+                                cfg.dataset_name, family)
+    else:
+        data = synthetic_dataset(
+            num_queries=cfg.synthetic_queries, seq_len=cfg.seq_len,
+            num_features=cfg.input_size, seed=cfg.seed,
+            **synthetic_config(cfg.retrieve_data, cfg.dataset_name))
+
+    predictor = Predictor(cfg)
+    ks = predictor.predict(np.asarray(data.x_test))
+    y = jnp.asarray(data.y_test)
+    result = {
+        "model": cfg.model_name,
+        "n_lists": int(ks.shape[0]),
+        "cuts": ks.tolist(),
+        "test_f1": float(metrics_lib.f1_at_k(y, jnp.asarray(ks))),
+        "test_dcg": float(metrics_lib.dcg_at_k(y, jnp.asarray(ks))),
+    }
+    if args.throughput:
+        result["ranked_lists_per_sec"] = predictor.throughput()
+    print(json.dumps({k: v for k, v in result.items() if k != "cuts"}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

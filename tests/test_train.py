@@ -402,3 +402,23 @@ def test_predictor_rejects_probe_base():
 
     with pytest.raises(ValueError, match="probe_base"):
         Predictor(tiny_cfg("probe_base"))
+
+
+def test_infer_cli(tmp_path):
+    """python -m rlt_tpu.infer: end-to-end predict over a pkl dataset written
+    in the reference layout, with a persisted checkpoint."""
+    import json
+
+    from rlt_tpu.infer import main as infer_main
+
+    cfg = tiny_cfg("attncut", epochs=1, model_persist=True,
+                   save_path=str(tmp_path))
+    Trainer(cfg, data=tiny_data(cfg)).run()
+    out = tmp_path / "cuts.json"
+    infer_main(["--model-name", "attncut",
+                "--model-path", str(tmp_path / "attncut"),
+                "--out", str(out)])
+    rec = json.loads(out.read_text())
+    assert rec["n_lists"] > 0 and len(rec["cuts"]) == rec["n_lists"]
+    assert all(1 <= k for k in rec["cuts"])
+    assert 0.0 <= rec["test_f1"] <= 1.0
