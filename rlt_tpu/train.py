@@ -312,7 +312,8 @@ class Trainer:
         self.f1_record: list[float] = []
         self.dcg_record: list[float] = []
 
-    def run(self, profile_dir: str | None = None, resume: bool = False) -> dict:
+    def run(self, profile_dir: str | None = None, resume: bool = False,
+            force_python_loop: bool = False) -> dict:
         """Epoch loop with best / best-5 tracking (run.py:222-232).
 
         profile_dir: when set, epochs 1-3 are captured with jax.profiler
@@ -345,7 +346,8 @@ class Trainer:
         # back to the python epoch loop when the host must act per epoch
         # (figures, profiler windows). Persistence works in both: the loop
         # snapshots every epoch, the scanned path every scan block.
-        if not cfg.draw and profile_dir is None:
+        # (force_python_loop exists so tests can pin scan-vs-loop equivalence)
+        if not cfg.draw and profile_dir is None and not force_python_loop:
             return self._run_scanned(start_epoch)
         tracing = False
         for epoch in range(start_epoch, cfg.epochs):

@@ -1,6 +1,7 @@
 """Classical baseline tests (reference Baseline/*.ipynb semantics)."""
 
 import numpy as np
+import pytest
 
 from rlt_tpu.baselines import baseline_table
 from rlt_tpu.data import synthetic_dataset
@@ -18,7 +19,8 @@ def test_oracle_dominates_greedy_dominates_fixed():
 def test_oracle_hand_example():
     # labels [1,0,1]: F1@1 = 2*(1*0.5)/1.5 = 2/3; F1@3 = 2*(2/3*1)/(5/3) = 0.8
     labels = np.asarray([[1, 0, 1]], np.float32)
-    assert float(metrics_lib.oracle_score(labels, "f1")) == np.float32(0.8)
+    assert float(metrics_lib.oracle_score(labels, "f1")) == pytest.approx(
+        0.8, abs=1e-6)
 
 
 def test_greedy_k_picks_best_mean_position():

@@ -130,7 +130,7 @@ def test_doc_stats_and_tfidf():
 
 def test_sparse_tfidf_matches_dense():
     from rlt_tpu.data.features import (
-        corpus_idf, tfidf_sparse, tfidf_vectors, build_vocab,
+        corpus_idf, tfidf_sparse, tfidf_vectors,
         neighbor_cosine_similarity, _neighbor_cos_sparse,
     )
 

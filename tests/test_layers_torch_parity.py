@@ -60,10 +60,10 @@ def test_transformer_layer_matches_torch(rng, d_model, n_head):
         "norm2": {"scale": sd["norm2.weight"], "bias": sd["norm2.bias"]},
     }
     converted = jax.tree.map(jnp.array, converted)
-    chex_structs_match = jax.tree_util.tree_structure(
-        jax.tree.map(np.shape, converted)
-    ) == jax.tree_util.tree_structure(jax.tree.map(np.shape, dict(params)))
-    assert chex_structs_match
+    # compare the actual shape VALUES (tree_structure ignores leaf values, so
+    # it cannot catch a transposed weight layout)
+    assert jax.tree.map(np.shape, converted) == jax.tree.map(np.shape,
+                                                             dict(params))
     got = np.asarray(model.apply({"params": converted}, jnp.array(x), deterministic=True))
 
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)

@@ -182,6 +182,8 @@ def test_wass_dist_loss_runs_and_is_nonnegative(batch):
         ("div", dict(metric="f1", div_type="js")),
         ("rerank", {}),
         ("bce", {}),
+        ("bicut", dict(metric="dcg")),
+        ("bicut", dict(metric="nci")),
     ],
 )
 def test_valid_mask_matches_subset(rng, loss_name, kwargs):
@@ -193,6 +195,8 @@ def test_valid_mask_matches_subset(rng, loss_name, kwargs):
     p = _softmax(rng.normal(size=(B, seq)).astype(np.float32))[:, :, None]
     if loss_name == "bce":
         p = rng.uniform(0.01, 0.99, size=(B, seq, 1)).astype(np.float32)
+    if loss_name == "bicut":  # (B, L, 2) per-position decision pairs
+        p = _softmax(rng.normal(size=(B, seq, 2)).astype(np.float32), axis=-1)
     loss = L.make_loss(loss_name, **kwargs)
     unpadded = float(loss(jnp.array(p[:3]), jnp.array(labels[:3])))
     valid = jnp.array([1, 1, 1, 0, 0], dtype=jnp.float32)

@@ -38,6 +38,7 @@ def test_dryrun_multichip_full_train_step():
     old = jax.config.jax_default_device
     try:
         jax.config.update("jax_default_device", cpu_devices()[0])
+        import rlt_tpu.parallel as parallel_pkg
         from rlt_tpu.parallel import mesh as mesh_lib
 
         orig = mesh_lib.data_parallel_mesh
@@ -45,11 +46,16 @@ def test_dryrun_multichip_full_train_step():
         def cpu_mesh(n_devices=None, devices=None):
             return orig(n_devices, devices=cpu_devices()[: (n_devices or 8)])
 
+        # dryrun_multichip resolves `from rlt_tpu.parallel import
+        # data_parallel_mesh` at call time, i.e. the PACKAGE attribute —
+        # patch both bindings or the patch is dead code on a TPU-attached env
         mesh_lib.data_parallel_mesh = cpu_mesh
+        parallel_pkg.data_parallel_mesh = cpu_mesh
         try:
             ge.dryrun_multichip(8)
         finally:
             mesh_lib.data_parallel_mesh = orig
+            parallel_pkg.data_parallel_mesh = orig
     finally:
         jax.config.update("jax_default_device", old)
 

@@ -216,10 +216,11 @@ def test_scanned_run_matches_python_loop(tmp_path):
     """The single-program scanned run must produce the same per-epoch metrics
     as the python epoch loop (same key sequence, same math)."""
     cfg_loop = tiny_cfg("attncut", epochs=3, model_persist=True,
-                        save_path=str(tmp_path))  # persist forces the loop path
+                        save_path=str(tmp_path))
     data = tiny_data(cfg_loop)
     t_loop = Trainer(cfg_loop, data=data)
-    s_loop = t_loop.run()
+    s_loop = t_loop.run(force_python_loop=True)
+    assert len(t_loop.f1_record) == 3  # the loop path actually ran
 
     cfg_scan = tiny_cfg("attncut", epochs=3)
     t_scan = Trainer(cfg_scan, data=data)
@@ -413,7 +414,16 @@ def test_infer_cli(tmp_path):
 
     cfg = tiny_cfg("attncut", epochs=1, model_persist=True,
                    save_path=str(tmp_path))
-    Trainer(cfg, data=tiny_data(cfg)).run()
+    trainer = Trainer(cfg, data=tiny_data(cfg))
+    trainer.run()
+    # the checkpoint the CLI will point at actually loads and holds the
+    # trained weights (guards the save-path/name derivation contract —
+    # Predictor silently falls back to random init when load_params misses)
+    loaded = load_params(str(tmp_path / "attncut"), like=trainer.state.params)
+    assert loaded is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        loaded, trainer.state.params)
     out = tmp_path / "cuts.json"
     infer_main(["--model-name", "attncut",
                 "--model-path", str(tmp_path / "attncut"),
