@@ -96,6 +96,22 @@ class TrainConfig:
         return 25
 
 
+def loader_family(model_name: str, retrieve_data: str) -> str:
+    """(model, corpus) -> dataloader family, the single source of the rule
+    the reference spreads over run.py:59-102's per-model branches:
+    choopy-family models read scores-only pkls via cp_dataloader (run.py:70);
+    the MMOE family reads the 47-feature mtcut pkls on non-robust04 corpora
+    (run.py:86-88); everything else reads at_dataloader's layout (run.py:61,
+    :74 — bicut shares it, run.py:61-62)."""
+    if model_name in ("choopy", "mtchoopy"):
+        return "choopy"
+    if retrieve_data != "robust04" and model_name in (
+        "mmoecut", "moecut", "mtple", "probe_base"
+    ):
+        return "mtcut"
+    return "attncut"
+
+
 # Exact values of hyper_parameter_drmm_tks.conf (the published-results config).
 _DRMM_TKS_PRESETS = {
     "bicut":    dict(batch_size=63, lr=1e-4, weight_decay=0.0024756345581373493, dropout=0.01),

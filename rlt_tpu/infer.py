@@ -46,8 +46,15 @@ class Predictor:
             params = self.model.init({"params": key, "dropout": key}, sample)["params"]
             if cfg.model_path:
                 loaded = load_params(cfg.model_path, like=params)
-                if loaded is not None:
-                    params = loaded
+                if loaded is None:
+                    # never silently serve random weights when the caller
+                    # asked for a trained checkpoint (a mistyped path would
+                    # otherwise report plausible-looking cuts)
+                    raise FileNotFoundError(
+                        f"--model-path {cfg.model_path!r}: no loadable "
+                        "checkpoint found; refusing to serve untrained weights"
+                    )
+                params = loaded
         self.params = params
 
         model_name = cfg.model_name
@@ -115,10 +122,9 @@ def main(argv=None):
                       retrieve_data=args.retrieve_data,
                       dataset_name=args.dataset_name,
                       dataset_base=args.dataset_base)
-    family = ("choopy" if cfg.model_name in ("choopy", "mtchoopy")
-              else "mtcut" if cfg.retrieve_data != "robust04"
-              and cfg.model_name in ("mmoecut", "moecut", "mtple")
-              else "attncut")
+    from rlt_tpu.config import loader_family
+
+    family = loader_family(cfg.model_name, cfg.retrieve_data)
     if cfg.dataset_base:
         data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                 cfg.dataset_name, family)

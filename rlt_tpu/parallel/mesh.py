@@ -16,11 +16,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_parallel_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """A 1-D mesh over the batch axis. Uses all visible devices by default."""
+    """A 1-D mesh over the batch axis. Uses all visible devices by default.
+
+    When n_devices is given, exactly that many devices are required — a
+    silent downscale (e.g. a 1-chip host "passing" an 8-chip dryrun) would
+    fake multi-chip coverage, so too few devices is an error."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"data_parallel_mesh: need {n_devices} devices, backend has "
+                f"{len(devices)} ({devices[0].platform if devices else 'none'})"
+            )
+        devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("data",))
 
 

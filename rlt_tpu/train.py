@@ -259,12 +259,7 @@ class Trainer:
 
             self.mesh = data_parallel_mesh()
             sharding = batch_sharding(self.mesh)
-        family = (
-            "choopy" if cfg.model_name in ("choopy", "mtchoopy")
-            else "mtcut" if cfg.retrieve_data != "robust04"
-            and cfg.model_name in ("mmoecut", "moecut", "mtple", "probe_base")
-            else "attncut"
-        )
+        family = config_lib.loader_family(cfg.model_name, cfg.retrieve_data)
         if data is None:
             if cfg.dataset_base:
                 data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
@@ -295,6 +290,11 @@ class Trainer:
             if loaded is not None:
                 params = loaded
                 logger.info("loaded params from %s", cfg.model_path)
+            else:
+                logger.warning(
+                    "model_path %r has no loadable checkpoint; training from "
+                    "fresh init", cfg.model_path,
+                )
         self.state = TrainState(params, self.optimizer.init(params), dkey)
         if self.mesh is not None:
             from rlt_tpu.parallel import replicated
@@ -306,7 +306,11 @@ class Trainer:
         )
         self.writer = MetricsWriter(cfg.log_dir, run_name=cfg.model_name)
 
-        # evaluation bookkeeping (run.py:54-57)
+        # evaluation bookkeeping (run.py:54-57). best_params always exists —
+        # consumers (e.g. a non-improving resume) must never hit an
+        # AttributeError; it starts as the initial params and tracks the
+        # best-test-F1 snapshot on both the scanned and python-loop paths.
+        self.best_params = self.state.params
         self.best_test_f1 = -float("inf")
         self.best_test_dcg = -float("inf")
         self.f1_record: list[float] = []
@@ -377,6 +381,7 @@ class Trainer:
             self.dcg_record.append(test_dcg)
             if test_f1 > self.best_test_f1:
                 self.best_test_f1 = test_f1
+                self.best_params = self.state.params
                 if cfg.model_persist:
                     save_params(ckpt_base, self.state.params)
             self.best_test_dcg = max(self.best_test_dcg, test_dcg)

@@ -57,7 +57,9 @@ def run_verification(cfg: TrainConfig, verify_type: str = "r", ft: bool = False,
     """Returns the per-epoch train metric record (verify_BMT.py:96,145)."""
     if data is None:
         if cfg.dataset_base:
-            family = "choopy" if cfg.model_name == "choopy" else "attncut"
+            from rlt_tpu.config import loader_family
+
+            family = loader_family(cfg.model_name, cfg.retrieve_data)
             data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                     cfg.dataset_name, family)
         else:

@@ -47,7 +47,11 @@ class ProbeTrainer:
         self.epochs_probe = epochs_probe
         if data is None:
             if cfg.dataset_base:
-                family = "mtcut" if cfg.retrieve_data != "robust04" else "attncut"
+                from rlt_tpu.config import loader_family
+
+                # probe_base follows the MMOE family's loaders (Probe.py
+                # consumes the same pkls as MMOECut)
+                family = loader_family("probe_base", cfg.retrieve_data)
                 data = load_pkl_dataset(cfg.dataset_base, cfg.retrieve_data,
                                         cfg.dataset_name, family)
             else:

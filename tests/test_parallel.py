@@ -32,32 +32,61 @@ def test_mesh_and_shardings():
 
 @needs_multi_cpu
 def test_dryrun_multichip_full_train_step():
+    """The driver entry must be self-contained: no monkeypatching. Here the
+    process already has 8 virtual CPU devices, so the in-process path runs;
+    on a TPU-attached env it re-execs a forced-CPU child instead."""
     import __graft_entry__ as ge
 
-    # route the dryrun onto the CPU mesh explicitly
-    old = jax.config.jax_default_device
-    try:
-        jax.config.update("jax_default_device", cpu_devices()[0])
-        import rlt_tpu.parallel as parallel_pkg
-        from rlt_tpu.parallel import mesh as mesh_lib
+    ge.dryrun_multichip(8)
 
-        orig = mesh_lib.data_parallel_mesh
 
-        def cpu_mesh(n_devices=None, devices=None):
-            return orig(n_devices, devices=cpu_devices()[: (n_devices or 8)])
+def test_mesh_refuses_silent_downscale():
+    """Requesting more devices than the backend has must raise, never
+    silently build a smaller mesh (a 1-chip host would otherwise 'pass'
+    an 8-chip dryrun)."""
+    with pytest.raises(ValueError, match="need 1024 devices"):
+        data_parallel_mesh(1024)
 
-        # dryrun_multichip resolves `from rlt_tpu.parallel import
-        # data_parallel_mesh` at call time, i.e. the PACKAGE attribute —
-        # patch both bindings or the patch is dead code on a TPU-attached env
-        mesh_lib.data_parallel_mesh = cpu_mesh
-        parallel_pkg.data_parallel_mesh = cpu_mesh
-        try:
-            ge.dryrun_multichip(8)
-        finally:
-            mesh_lib.data_parallel_mesh = orig
-            parallel_pkg.data_parallel_mesh = orig
-    finally:
-        jax.config.update("jax_default_device", old)
+
+@needs_multi_cpu
+def test_sharded_train_step_hlo_has_gradient_all_reduce():
+    """Math equality alone would also hold for a compilation that reshards
+    everything to one device; inspect the compiled HLO and require a
+    parameter-shaped all-reduce (the gradient psum over the data axis)."""
+    import re
+
+    import __graft_entry__ as ge
+
+    step, state, x, y, mesh = ge.build_dryrun_step(8, cpu_devices()[:8])
+    with mesh:
+        txt = step.lower(state, x, y).compile().as_text()
+    ar_lines = [l for l in txt.splitlines() if "all-reduce" in l]
+    assert ar_lines, "no all-reduce in the compiled sharded train step"
+    # at least one all-reduce must carry a non-scalar f32 operand (a grad
+    # tensor); scalar-only all-reduces would just be the loss mean
+    assert any(re.search(r"f32\[\d", l) for l in ar_lines), ar_lines[:5]
+
+
+@needs_multi_cpu
+def test_trainer_epoch_hlo_has_all_reduce():
+    """Same check on the real Trainer epoch program (train.py's jitted
+    epoch_fn) with a sharded dataset."""
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.train import Trainer
+
+    mesh = data_parallel_mesh(8, devices=cpu_devices()[:8])
+    cfg = TrainConfig(
+        model_name="attncut", seq_len_override=16, input_size_override=3,
+        synthetic_queries=40, batch_size=16, epochs=1,
+        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+    )
+    data = synthetic_dataset(num_queries=40, seq_len=16, num_features=3,
+                             mean_relevant=4.0, seed=0)
+    trainer = Trainer(cfg, data=data, sharding=batch_sharding(mesh))
+    key = jax.random.PRNGKey(0)
+    txt = trainer.epoch_fn.lower(trainer.state, trainer.data, key).compile().as_text()
+    assert "all-reduce" in txt
 
 
 def test_entry_forward_compiles():

@@ -432,3 +432,54 @@ def test_infer_cli(tmp_path):
     assert rec["n_lists"] > 0 and len(rec["cuts"]) == rec["n_lists"]
     assert all(1 <= k for k in rec["cuts"])
     assert 0.0 <= rec["test_f1"] <= 1.0
+
+
+def test_loader_family_routing_matches_reference():
+    """One rule, pinned model-by-model against run.py:59-102's branches."""
+    from rlt_tpu.config import loader_family
+
+    expected = {
+        # run.py:70,79: choopy-family -> cp_dataloader on every corpus
+        ("choopy", "robust04"): "choopy",
+        ("choopy", "mq2007"): "choopy",
+        ("mtchoopy", "robust04"): "choopy",
+        ("mtchoopy", "mq2007"): "choopy",
+        # run.py:61-62,74,84: bicut/attncut/mtattncut -> at_dataloader layout
+        ("bicut", "robust04"): "attncut",
+        ("bicut", "mq2007"): "attncut",
+        ("attncut", "robust04"): "attncut",
+        ("attncut", "mq2007"): "attncut",
+        ("mtattncut", "robust04"): "attncut",
+        ("mtattncut", "mq2007"): "attncut",
+        # run.py:86-102: MMOE family reads mc_dataloader's 47-feature pkls
+        # only on non-robust04 corpora (robust04 keeps the 3-feature layout)
+        ("mmoecut", "robust04"): "attncut",
+        ("mmoecut", "mq2007"): "mtcut",
+        ("moecut", "robust04"): "attncut",
+        ("moecut", "mq2007"): "mtcut",
+        ("mtple", "robust04"): "attncut",
+        ("mtple", "mq2007"): "mtcut",
+        ("probe_base", "robust04"): "attncut",
+        ("probe_base", "mq2007"): "mtcut",
+    }
+    for (model, corpus), family in expected.items():
+        assert loader_family(model, corpus) == family, (model, corpus)
+
+
+def test_best_params_always_present(tmp_path):
+    """best_params exists from construction and survives a resume that
+    trains zero epochs (the non-improving-resume AttributeError regression)."""
+    cfg = tiny_cfg("attncut", epochs=2, model_persist=True,
+                   save_path=str(tmp_path))
+    data = tiny_data(cfg)
+    t1 = Trainer(cfg, data=data)
+    assert t1.best_params is not None  # before any run
+    t1.run()
+    assert jax.tree.leaves(t1.best_params)
+
+    # resume a completed run: start_epoch >= epochs, nothing trains, and the
+    # attribute must still be readable (it stays the fresh init here)
+    t2 = Trainer(cfg, data=data)
+    summary = t2.run(resume=True)
+    assert jax.tree.leaves(t2.best_params)
+    assert np.isfinite(summary["best_f1"])
