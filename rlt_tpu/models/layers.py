@@ -202,7 +202,9 @@ class SelfAttention(nn.Module):
             split_heads(q), split_heads(k), split_heads(v),
             dropout_rate=0.0 if deterministic else rate,
             dropout_rng=rng,
-            use_pallas=self.use_pallas and deterministic,
+            # the fused kernel is trainable (custom_vjp + in-kernel dropout),
+            # so it serves the training path too
+            use_pallas=self.use_pallas,
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(batch, seq_len, d)
         out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))

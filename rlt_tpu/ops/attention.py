@@ -1,14 +1,21 @@
-"""Attention ops: a Pallas fused-softmax-attention TPU kernel plus an XLA path.
+"""Attention ops: Pallas fused-attention TPU kernels (fwd + bwd) plus an XLA path.
 
 Every model family in the reference runs self-attention over ranked lists
 (Choopy models/Choopy.py:12, AttnCut models/AttnCut.py:10-11, the MMOE experts
-models/MMOECut.py:6-14). Sequence lengths are small (L = 300 or 40), so the win
-from the fused kernel is keeping the (L, L) score matrix in VMEM — one HBM
-round-trip for scores+softmax+PV instead of three.
+models/MMOECut.py:6-14). Sequence lengths are small (L = 300 or 40), so the
+whole (L, L) score matrix of one (batch, head) slice fits in VMEM; the win is
+bandwidth, not FLOPs: XLA materializes the (B, H, L, L) probability tensor to
+HBM between the QK^T and PV matmuls (and again in the backward), while the
+fused kernels keep it on-chip — the only HBM traffic is Q/K/V/O (+ dO, LSE in
+the backward).
 
-The Pallas kernel is used on the inference/eval path (attention-weight dropout
-off); training uses the XLA path, which autodiffs and fuses well. Shapes are
-static, so both paths compile once.
+The kernel is trainable: `fused_attention` carries a flash-style custom_vjp
+(store O and the log-sum-exp rows, recompute the probabilities in the backward
+kernel) and optional in-kernel dropout on the softmax weights. Dropout bits
+come from a counter-based murmur3-finalizer hash — pure integer jnp ops, so
+the identical mask is regenerated in the backward kernel (no (L, L) mask in
+HBM) and the same code runs under `interpret=True` on CPU for tests, where the
+TPU PRNG primitives don't exist.
 """
 
 from __future__ import annotations
@@ -18,52 +25,225 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    """One (batch*head) slice: scores -> stable softmax -> PV, all in VMEM."""
+# ---------------------------------------------------------------------------
+# Counter-based dropout mask (identical bits in fwd and bwd, portable)
+# ---------------------------------------------------------------------------
+
+def keep_mask(stream, shape, dropout_rate: float):
+    """Boolean keep-mask for one (batch*head) program.
+
+    murmur3 finalizer over (element index ^ stream key): 2 multiplies + 3
+    xor-shifts per element on the VPU, full avalanche. `stream` is a traced
+    int32 scalar unique per (call site, batch, head) slice — the wrapper
+    derives it as seed + slice index, and under nn.vmap'ed experts the seed
+    itself is per-expert (split dropout rngs), keeping masks independent.
+    Exposed at module level so tests reconstruct the exact mask outside the
+    kernel. Deliberately free of pl.program_id: the kernel body stays
+    grid-shape-agnostic, so the pallas vmap batching rule (which prepends a
+    grid dimension) cannot skew the streams."""
+    rows = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = rows * jnp.uint32(shape[1]) + cols
+    x = x ^ (stream.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    threshold = jnp.uint32(min(int((1.0 - dropout_rate) * 2**32), 2**32 - 1))
+    return x < threshold
+
+
+# ---------------------------------------------------------------------------
+# Kernels: one program per (batch*head) slice, everything in VMEM
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                     scale: float, dropout_rate: float):
     q = q_ref[0].astype(jnp.float32)  # (L, dh)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     # q @ k^T without materializing the transpose (NT matmul on the MXU)
-    scores = jax.lax.dot_general(
+    s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (L, L)
-    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+    if dropout_rate > 0.0:
+        keep = keep_mask(stream_ref[0, 0, 0], s.shape, dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(denom))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attn_bwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float):
+    """Flash-style backward: recompute p from (q, k, lse); the softmax
+    jacobian contraction uses delta = rowsum(do * o), which absorbs the
+    dropout mask exactly (delta = sum_j p_j * dp_j for the dropped p too)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # (L,)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[:, None])  # pre-dropout softmax probs
+    dpd = jax.lax.dot_general(  # do @ v^T: grad wrt (post-dropout) probs
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_rate > 0.0:
+        keep = keep_mask(stream_ref[0, 0, 0], s.shape, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        pd = jnp.where(keep, p * inv, 0.0)   # the probs the fwd actually used
+        dp = jnp.where(keep, dpd * inv, 0.0)  # chain rule through the mask
+    else:
+        pd, dp = p, dpd
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (L, 1)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(  # ds^T @ q
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(  # pd^T @ do
+        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+
+
+def _flat_specs(seq_len: int, head_dim: int):
+    # Per-slice dropout stream seeds ride as an (n, 1, 1) VMEM operand indexed
+    # exactly like Q/K/V — NOT as an SMEM scalar: the pallas vmap batching
+    # rule (MMOECut's experts vmap this op) broadcasts operands and prepends a
+    # grid dim, which breaks a whole-array SMEM spec but composes fine with a
+    # leading grid-indexed dim. Only the last two block dims face the TPU
+    # 8/128-or-equal tiling rule, and (1, 1) == the array's trailing dims.
+    stream_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((1, seq_len, head_dim), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    # LSE rides as (n, 1, L) for the same tiling reason: its trailing (1, L)
+    # block equals the array dims, whereas a (1, L) row of (n, L) would not.
+    vec = pl.BlockSpec((1, 1, seq_len), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return stream_spec, mat, vec
+
+
+def _streams(seed, n: int):
+    """Per-(batch*head)-slice stream seeds: seed + slice index, shaped for
+    the (n, 1, 1) VMEM operand."""
+    s = jnp.asarray(seed, jnp.int32).reshape(()) + jnp.arange(n, dtype=jnp.int32)
+    return s.reshape(n, 1, 1)
+
+
+def _fwd_pallas(dropout_rate, interpret, q, k, v, seed):
+    batch, heads, seq_len, head_dim = q.shape
+    scale = 1.0 / math.sqrt(head_dim)
+    n = batch * heads
+    flat = (n, seq_len, head_dim)
+    stream_spec, mat, vec = _flat_specs(seq_len, head_dim)
+    o, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, dropout_rate=dropout_rate),
+        grid=(n,),
+        in_specs=[stream_spec, mat, mat, mat],
+        out_specs=(mat, vec),
+        out_shape=(
+            jax.ShapeDtypeStruct(flat, q.dtype),
+            jax.ShapeDtypeStruct((n, 1, seq_len), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n * seq_len * seq_len * head_dim,
+            bytes_accessed=4 * n * seq_len * head_dim * 4,
+            transcendentals=n * seq_len * seq_len,
+        ),
+    )(_streams(seed, n), q.reshape(flat), k.reshape(flat), v.reshape(flat))
+    return o.reshape(q.shape), lse
+
+
+def _bwd_pallas(dropout_rate, interpret, q, k, v, o, lse, do, seed):
+    batch, heads, seq_len, head_dim = q.shape
+    scale = 1.0 / math.sqrt(head_dim)
+    n = batch * heads
+    flat = (n, seq_len, head_dim)
+    stream_spec, mat, vec = _flat_specs(seq_len, head_dim)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, dropout_rate=dropout_rate),
+        grid=(n,),
+        in_specs=[stream_spec, mat, mat, mat, mat, mat, vec],
+        out_specs=(mat, mat, mat),
+        out_shape=(
+            jax.ShapeDtypeStruct(flat, q.dtype),
+            jax.ShapeDtypeStruct(flat, k.dtype),
+            jax.ShapeDtypeStruct(flat, v.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * n * seq_len * seq_len * head_dim,
+            bytes_accessed=9 * n * seq_len * head_dim * 4,
+            transcendentals=n * seq_len * seq_len,
+        ),
+    )(_streams(seed, n), q.reshape(flat), k.reshape(flat), v.reshape(flat),
+      o.reshape(flat), do.reshape(flat), lse)
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_attention(dropout_rate, interpret, q, k, v, seed):
+    o, _ = _fwd_pallas(dropout_rate, interpret, q, k, v, seed)
+    return o
+
+
+def _fused_attention_fwd(dropout_rate, interpret, q, k, v, seed):
+    o, lse = _fwd_pallas(dropout_rate, interpret, q, k, v, seed)
+    return o, (q, k, v, o, lse, seed)
+
+
+def _fused_attention_bwd(dropout_rate, interpret, res, g):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _bwd_pallas(dropout_rate, interpret, q, k, v, o, lse, g, seed)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def fused_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, interpret: bool = False
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    dropout_rate: float = 0.0,
+    seed: jax.Array | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Pallas fused attention. q, k, v: (B, H, L, dh) -> (B, H, L, dh).
 
-    Grid is one program per (batch, head); each program holds its full (L, dh)
-    Q/K/V block and (L, L) score tile in VMEM (L <= 384 here, ~0.6 MB fp32).
+    Differentiable (flash-style custom_vjp, probabilities recomputed in the
+    backward kernel). With dropout_rate > 0, `seed` (int32 scalar array)
+    drives in-kernel dropout on the softmax weights — the mask never touches
+    HBM. Grid is one program per (batch, head); each program holds its full
+    (L, dh) Q/K/V block and (L, L) score tile in VMEM (L <= 384, ~0.6 MB fp32).
     """
-    batch, heads, seq_len, head_dim = q.shape
-    scale = 1.0 / math.sqrt(head_dim)
-    flat = (batch * heads, seq_len, head_dim)
-    spec = pl.BlockSpec((1, seq_len, head_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale),
-        grid=(batch * heads,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(flat, q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * batch * heads * seq_len * seq_len * head_dim,
-            bytes_accessed=4 * batch * heads * seq_len * head_dim * 4,
-            transcendentals=batch * heads * seq_len * seq_len,
-        ),
-    )(q.reshape(flat), k.reshape(flat), v.reshape(flat))
-    return out.reshape(q.shape)
+    if dropout_rate > 0.0 and seed is None:
+        raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    return _fused_attention(float(dropout_rate), bool(interpret), q, k, v, seed)
 
 
 def xla_attention(
@@ -84,6 +264,16 @@ def xla_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+# Measured crossover on TPU v5 lite (scripts/bench_attention.py,
+# RESULTS_attention.json, 400 chained on-device iterations): at L=300 the
+# fused kernels win the training path (fwd+bwd with dropout 1.4-1.5x, dropout
+# fwd 2.2-2.6x, eval fwd ~1.6x) because XLA round-trips the (B,H,L,L) probs
+# through HBM; at L=40 XLA wins by >5x — the per-(batch*head) grid overhead
+# (~500 programs of ~0.7us) exceeds the entire computation, which XLA runs at
+# near-peak MXU. Route by sequence length.
+PALLAS_MIN_SEQ_LEN = 128
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -93,8 +283,15 @@ def multi_head_attention(
     dropout_rng: jax.Array | None = None,
     use_pallas: bool = False,
 ) -> jax.Array:
-    """Dispatch: Pallas fused kernel when no attention dropout is active
-    (inference / dropout=0 configs on TPU), XLA otherwise."""
-    if use_pallas and (dropout_rate == 0.0 or dropout_rng is None):
-        return fused_attention(q, k, v)
+    """Dispatch: the fused Pallas kernels on TPU (training included — dropout
+    runs in-kernel from a seed folded out of the rng key) for sequences past
+    the measured crossover, XLA otherwise."""
+    if use_pallas and q.shape[2] >= PALLAS_MIN_SEQ_LEN:
+        rate = dropout_rate if dropout_rng is not None else 0.0
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+        return fused_attention(q, k, v, dropout_rate=rate, seed=seed)
     return xla_attention(q, k, v, dropout_rate, dropout_rng)

@@ -1,0 +1,148 @@
+"""Fused Pallas attention: forward/backward parity with XLA (interpret mode)
+and in-kernel dropout correctness against a mask-exact jnp reference."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlt_tpu.ops.attention import fused_attention, keep_mask, xla_attention
+
+
+def qkv(shape, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
+
+
+def ref_dropout_attention(q, k, v, rate, seed):
+    """Pure-jnp attention applying the exact mask the kernels regenerate
+    (keep_mask is shared module-level code), so outputs AND autodiff grads
+    must match the Pallas custom_vjp bit-for-bit up to float tolerance."""
+    b, h, L, dh = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+    p = jax.nn.softmax(s, axis=-1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(())
+    mask = jnp.stack(
+        [keep_mask(seed_arr + i, (L, L), rate) for i in range(b * h)]
+    ).reshape(b, h, L, L)
+    p = jnp.where(mask, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 24, 8), (1, 4, 40, 16), (2, 1, 31, 8)])
+def test_forward_matches_xla(shape):
+    q, k, v = qkv(shape)
+    out = fused_attention(q, k, v, interpret=True)
+    ref = xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 24, 8), (1, 4, 40, 16)])
+def test_backward_matches_xla_autodiff(shape):
+    q, k, v = qkv(shape, seed=1)
+    # a non-symmetric scalar readout so dq/dk/dv are all distinct
+    w = jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, interpret=True) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_fused, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=2e-5, err_msg=f"d{name}"
+        )
+
+
+def test_dropout_forward_matches_mask_exact_reference():
+    q, k, v = qkv((2, 2, 24, 8), seed=2)
+    rate, seed = 0.3, 1234
+    out = fused_attention(q, k, v, dropout_rate=rate,
+                          seed=jnp.asarray([seed], jnp.int32), interpret=True)
+    ref = ref_dropout_attention(q, k, v, rate, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dropout_backward_matches_mask_exact_reference():
+    """The backward kernel must regenerate the identical mask the forward
+    used; any fwd/bwd mask skew shows up as a grad mismatch here."""
+    q, k, v = qkv((2, 2, 24, 8), seed=3)
+    rate, seed = 0.25, 77
+    w = jax.random.normal(jax.random.PRNGKey(5), q.shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        out = fused_attention(q, k, v, dropout_rate=rate,
+                              seed=jnp.asarray([seed], jnp.int32), interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_dropout_attention(q, k, v, rate, seed) * w)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-5, err_msg=f"d{name}"
+        )
+
+
+def test_dropout_seed_semantics():
+    q, k, v = qkv((1, 2, 16, 8), seed=4)
+    a = fused_attention(q, k, v, dropout_rate=0.5,
+                        seed=jnp.asarray([1], jnp.int32), interpret=True)
+    b = fused_attention(q, k, v, dropout_rate=0.5,
+                        seed=jnp.asarray([1], jnp.int32), interpret=True)
+    c = fused_attention(q, k, v, dropout_rate=0.5,
+                        seed=jnp.asarray([2], jnp.int32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-6
+
+
+def test_dropout_mask_statistics():
+    """The hash must behave like a fair Bernoulli(1-rate) source: keep
+    fraction within a few sigma, and E[dropped attention] ~ the clean one."""
+    L, rate = 128, 0.2
+    seed_arr = jnp.asarray(11, jnp.int32)
+    m = np.asarray(keep_mask(seed_arr, (L, L), rate))
+    n = L * L
+    frac = m.mean()
+    sigma = math.sqrt(rate * (1 - rate) / n)
+    assert abs(frac - (1 - rate)) < 5 * sigma, frac
+    # rows/cols shouldn't be degenerate (all-kept or all-dropped stripes)
+    assert m.all(axis=1).sum() == 0
+    assert (~m).all(axis=1).sum() == 0
+
+
+def test_vmap_over_fused_attention():
+    """MMOECut's expert stack nn.vmap's the whole encoder — the pallas_call
+    must batch (prepended grid dim) without breaking specs or streams."""
+    q, k, v = qkv((3, 2, 2, 24, 8), seed=6)  # leading expert axis
+    seeds = jnp.arange(3, dtype=jnp.int32).reshape(3, 1) * 1000 + 5
+
+    def per_expert(q, k, v, seed):
+        return fused_attention(q, k, v, dropout_rate=0.3, seed=seed,
+                               interpret=True)
+
+    out = jax.vmap(per_expert)(q, k, v, seeds)
+    ref = jnp.stack([
+        ref_dropout_attention(q[e], k[e], v[e], 0.3, int(seeds[e, 0]))
+        for e in range(3)
+    ])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # distinct per-expert seeds => distinct masks
+    assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-6
+
+    # and the custom_vjp must batch too (grads through the vmapped op)
+    g = jax.grad(lambda q: jnp.sum(jax.vmap(per_expert)(q, k, v, seeds) ** 2))(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dropout_requires_seed():
+    q, k, v = qkv((1, 1, 8, 8))
+    with pytest.raises(ValueError, match="requires a seed"):
+        fused_attention(q, k, v, dropout_rate=0.1)
