@@ -178,12 +178,40 @@ def synthetic_quality(dataset_name: str, retrieve_data: str = "robust04") -> flo
     return table.get(dataset_name, table["drmm_tks"])
 
 
+# The "<dataset>_hard" profile keeps the relevance PLACEMENT of the base
+# dataset (so the oracle ceiling is unchanged, ~0.85 F1 for drmm_tks) but
+# corrupts and restructures the FEATURES so per-position evidence alone
+# cannot reach it: a fraction of relevance evidence is flipped (caps every
+# model's ceiling ~7 points under oracle), per-query nuisance gain/offset
+# forces list-level normalization, and the informative stat channel rotates
+# across three query subtypes (with decoy structure in the others) so
+# per-query feature routing — the MMOE gate's job, reference MMOECut.py:30-41
+# — carries real signal. Restores the model spread the real robust04 corpus
+# shows (hyper_parameter_drmm_tks.conf best-f1 comments: attncut vs mmoecut)
+# that the saturating standard profile cannot.
+# Calibrated on TPU (scripts/calibrate_hard.py, 3 seeds, conf hparams):
+# oracle 0.834, train-fit fixed-k floor 0.744, AttnCut 0.780 — matching the
+# real-corpus geometry (reference conf:42 attncut 0.7835, oracle 0.8547).
+SYNTHETIC_HARD_PROFILE = dict(
+    evidence_flip=0.10,
+    nuisance_gain=0.35,
+    subtypes=3,
+    noise_scale=1.25,
+    relevant_spread=0.8,
+)
+
+
 def synthetic_config(retrieve_data: str, dataset_name: str) -> dict:
     """kwargs for synthetic_dataset matching the corpus statistics."""
-    return {
-        "retrieval_quality": synthetic_quality(dataset_name, retrieve_data),
+    hard = dataset_name.endswith("_hard")
+    base_name = dataset_name[: -len("_hard")] if hard else dataset_name
+    cfg = {
+        "retrieval_quality": synthetic_quality(base_name, retrieve_data),
         "mean_relevant": SYNTHETIC_MEAN_RELEVANT.get(retrieve_data, 45.0),
     }
+    if hard:
+        cfg.update(SYNTHETIC_HARD_PROFILE)
+    return cfg
 
 def synthetic_dataset(
     num_queries: int = 250,
@@ -193,6 +221,11 @@ def synthetic_dataset(
     mean_relevant: float = 45.0,
     train_fraction: float = 0.8,
     seed: int = 0,
+    evidence_flip: float = 0.0,
+    nuisance_gain: float = 0.0,
+    subtypes: int = 0,
+    noise_scale: float = 1.0,
+    relevant_spread: float = 0.0,
 ) -> RankedListData:
     """Deterministic synthetic ranked lists with robust04-like statistics.
 
@@ -203,6 +236,30 @@ def synthetic_dataset(
     a decaying noisy retrieval score; channels 1+ are noisy relevance-correlated
     similarity statistics (standing in for the tf-idf / doc2vec neighbor
     cosine-similarity features of data_prep/document_statics.ipynb cells 44-57).
+
+    Hard-profile knobs (all off by default; see SYNTHETIC_HARD_PROFILE):
+
+    * evidence_flip: fraction of relevant docs whose features carry NO
+      relevance evidence, matched by spurious evidence on an equal expected
+      number of irrelevant docs. Labels stay true — only the features lie —
+      so the oracle ceiling is unchanged while every trained model's ceiling
+      drops below it.
+    * nuisance_gain: per-query log-normal gain + normal offset applied to
+      every feature channel (retrieval-score scale varies by query in real
+      corpora); models must normalize per list, which rewards cross-position
+      context over pointwise reads.
+    * subtypes: number of query subtypes. The relevance evidence in the stat
+      channels lives ONLY in channel 1 + (subtype % (F-1)); the other stat
+      channels carry a rank-correlated decoy of query-varying gain, and the
+      score channel's decay rate varies by subtype (a list-shape cue to the
+      subtype). Per-query routing over channels is exactly what the MMOE
+      gate learns (reference MMOECut.py:30-41).
+    * noise_scale: multiplies every additive noise sigma.
+    * relevant_spread: widens the PER-QUERY relevant-count distribution —
+      each query's Poisson mean is mean_relevant * Uniform(1-s, 1+s). The
+      oracle (which adapts k per query) keeps its ceiling, but any fixed or
+      rank-only cut degrades: a model must read the list's evidence to find
+      where ITS relevance stops, which is the actual truncation task.
     """
     rng = np.random.default_rng(seed)
     n = num_queries
@@ -212,26 +269,67 @@ def synthetic_dataset(
     place_logits = -retrieval_quality * ranks / seq_len
     place_p = np.exp(place_logits)
     y = np.zeros((n, seq_len), dtype=np.float32)
+    if relevant_spread > 0.0:
+        lo, hi = 1.0 - relevant_spread, 1.0 + relevant_spread
+        query_means = mean_relevant * rng.uniform(lo, hi, size=n)
+    else:
+        query_means = np.full(n, mean_relevant)
     for i in range(n):
-        k = max(1, int(rng.poisson(mean_relevant)))
+        k = max(1, int(rng.poisson(query_means[i])))
         k = min(k, seq_len)
         probs = place_p / place_p.sum()
         idx = rng.choice(seq_len, size=k, replace=False, p=probs)
         y[i, idx] = 1.0
 
+    # observed relevance: what the FEATURES reflect. evidence_flip hides a
+    # fraction of true relevance and fabricates a matched amount, capping the
+    # achievable test F1 strictly below the (true-y) oracle.
+    y_obs = y
+    if evidence_flip > 0.0:
+        rel = y > 0.5
+        hide = (rng.random(y.shape) < evidence_flip) & rel
+        irr_rate = evidence_flip * mean_relevant / max(seq_len - mean_relevant, 1.0)
+        fabricate = (rng.random(y.shape) < irr_rate) & ~rel
+        y_obs = np.where(hide, 0.0, np.where(fabricate, 1.0, y))
+
+    # per-query subtype: rotates which stat channel is informative and skews
+    # the score decay (so the list shape itself hints at the subtype)
+    subtype = rng.integers(0, subtypes, size=n) if subtypes > 0 else np.zeros(n, np.int64)
+    decay = np.full(n, 3.0, np.float32)
+    if subtypes > 0:
+        decay = (3.0 * (1.0 + 0.35 * (subtype - (subtypes - 1) / 2.0))).astype(np.float32)
+
     # retrieval score: decays with rank, relevant docs get a bump, plus noise
-    base_score = np.exp(-3.0 * ranks / seq_len)[None, :]
-    score = base_score + 0.25 * y + 0.08 * rng.standard_normal((n, seq_len))
+    base_score = np.exp(-decay[:, None] * ranks[None, :] / seq_len)
+    score_bump = 0.25 if subtypes == 0 else 0.10  # stat channels load-bearing
+    score = (base_score + score_bump * y_obs
+             + 0.08 * noise_scale * rng.standard_normal((n, seq_len)))
     score = score.astype(np.float32)
 
     feats = [score]
     for c in range(1, num_features):
-        w = 0.5 / c  # later channels are weaker signals
-        stat = w * y + 0.15 * rng.standard_normal((n, seq_len))
+        if subtypes > 0:
+            informative = (1 + (subtype % (num_features - 1))) == c  # (n,)
+            w = np.where(informative, 0.6, 0.0)[:, None].astype(np.float32)
+            # decoy: rank-correlated ramp of query-varying gain in the
+            # uninformative channels — pointwise it mimics evidence
+            decoy_gain = np.where(informative, 0.0,
+                                  0.3 * rng.standard_normal(n))[:, None]
+            decoy = decoy_gain * np.exp(-2.0 * ranks[None, :] / seq_len)
+        else:
+            w = 0.5 / c  # later channels are weaker signals
+            decoy = 0.0
+        stat = (w * y_obs + decoy
+                + 0.15 * noise_scale * rng.standard_normal((n, seq_len)))
         # neighbor-smoothed, like the reference's neighbor cosine sims
         stat = 0.5 * stat + 0.25 * np.roll(stat, 1, axis=1) + 0.25 * np.roll(stat, -1, axis=1)
         feats.append(stat.astype(np.float32))
     x = np.stack(feats, axis=-1)  # (N, L, F)
+
+    if nuisance_gain > 0.0:
+        gain = np.exp(nuisance_gain * rng.standard_normal((n, 1, num_features)))
+        offset = nuisance_gain * rng.standard_normal((n, 1, num_features))
+        x = (x * gain + offset).astype(np.float32)
 
     n_train = int(round(train_fraction * n))
     perm = rng.permutation(n)

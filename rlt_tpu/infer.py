@@ -82,15 +82,34 @@ class Predictor:
         return np.asarray(ks), np.asarray(dist)
 
     def throughput(self, batch_size: int = 256, iters: int = 50) -> float:
-        """Steady-state inference ranked-lists/sec at the given batch size."""
+        """Steady-state inference ranked-lists/sec at the given batch size.
+
+        Chains `iters` forward passes through a carry inside ONE jitted
+        lax.scan and synchronizes by fetching real bytes: block_until_ready
+        can return prematurely through the tunneled TPU backend for
+        Pallas-bearing programs (RESULTS.md "Timing methodology"), and a
+        per-dispatch python loop measures tunnel round trips, not device
+        time."""
         x = jnp.zeros((batch_size, self.cfg.seq_len, self.cfg.input_size), jnp.float32)
-        ks, _ = self._predict(self.params, x)
-        jax.block_until_ready(ks)
-        start = time.perf_counter()
-        for _ in range(iters):
-            ks, _ = self._predict(self.params, x)
-        jax.block_until_ready(ks)
-        return batch_size * iters / (time.perf_counter() - start)
+        predict = self._predict
+
+        @functools.partial(jax.jit, static_argnames="n")
+        def chained(params, x, n):
+            def body(acc, _):
+                ks, _dist = predict(params, x + acc * 0.0)
+                return jnp.float32(jnp.sum(ks)) * 1e-9, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return acc
+
+        np.asarray(jax.device_get(chained(self.params, x, 1)))       # compile both
+        np.asarray(jax.device_get(chained(self.params, x, iters)))   # lengths + warm
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(chained(self.params, x, 1)))
+        t1 = time.perf_counter()
+        np.asarray(jax.device_get(chained(self.params, x, iters)))
+        t2 = time.perf_counter()
+        per_batch = ((t2 - t1) - (t1 - t0)) / (iters - 1)
+        return batch_size / max(per_batch, 1e-9)
 
 
 def main(argv=None):

@@ -210,7 +210,12 @@ def bce_loss(
     # semantics; in float32 `1.0 - 1e-12` rounds back to 1.0, so an eps-clip
     # on p cannot provide this guarantee). The inner where/maximum keeps the
     # backward NaN-free: jnp.log's gradient at 0 is inf even when the forward
-    # value is later clamped.
+    # value is later clamped. Known divergence from the torch oracle AT exact
+    # saturation only: torch's BCELoss backward divides by
+    # max(p*(1-p), eps) and so emits a huge (~1e12) gradient for a saturated
+    # element, while this forward-clamp formulation yields gradient 0 there —
+    # training dynamics can differ after a head fully saturates (never
+    # observed pre-saturation; see RESULTS.md "Torch A/B parity").
     tiny = jnp.finfo(jnp.float32).tiny
     q = 1.0 - p
     log_p = jnp.maximum(

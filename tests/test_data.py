@@ -42,6 +42,51 @@ def test_synthetic_deterministic():
     assert not np.array_equal(a.x_train, c.x_train)
 
 
+def test_hard_profile_geometry():
+    """The `_hard` profile keeps the oracle ceiling but opens a wide gap to
+    the train-fit fixed-k floor (the discriminative region models must climb
+    by reading per-list evidence — real-corpus geometry, reference
+    hyper_parameter_drmm_tks.conf:42 vs Baseline/Oracle.ipynb oracle)."""
+    import jax.numpy as jnp
+
+    from rlt_tpu.data.datasets import synthetic_config
+    from rlt_tpu.utils import metrics
+
+    cfg = synthetic_config("robust04", "drmm_tks_hard")
+    assert cfg["evidence_flip"] > 0 and cfg["relevant_spread"] > 0
+    d = synthetic_dataset(num_queries=250, seq_len=300, num_features=3,
+                          seed=0, **cfg)
+    rw_tr = metrics.reward_matrix(jnp.asarray(d.y_train), "f1")
+    rw_te = metrics.reward_matrix(jnp.asarray(d.y_test), "f1")
+    oracle = float(jnp.mean(jnp.max(rw_te, axis=1)))
+    kfix = int(jnp.argmax(jnp.mean(rw_tr, axis=0)))
+    fixed = float(jnp.mean(rw_te[:, kfix]))
+    assert 0.80 < oracle < 0.88          # ceiling unchanged vs standard
+    assert fixed < oracle - 0.06         # wide evidence-reading gap
+    # per-query relevant-count spread is what breaks rank-only cuts
+    assert d.y_test.sum(axis=1).std() > 12.0
+
+
+def test_hard_profile_determinism_and_default_isolation():
+    """Hard knobs are deterministic per seed, and all-default knobs are
+    BIT-identical to the pre-hard generator (the standard profile's oracle
+    calibration must never drift when knobs are added)."""
+    from rlt_tpu.data.datasets import SYNTHETIC_HARD_PROFILE
+
+    a = synthetic_dataset(num_queries=20, seed=7, **SYNTHETIC_HARD_PROFILE)
+    b = synthetic_dataset(num_queries=20, seed=7, **SYNTHETIC_HARD_PROFILE)
+    np.testing.assert_array_equal(a.x_train, b.x_train)
+    assert not np.array_equal(
+        a.x_train, synthetic_dataset(num_queries=20, seed=7).x_train)
+    # all knobs at their defaults consume no extra RNG draws
+    plain = synthetic_dataset(num_queries=20, seed=7)
+    explicit = synthetic_dataset(num_queries=20, seed=7, evidence_flip=0.0,
+                                 nuisance_gain=0.0, subtypes=0,
+                                 noise_scale=1.0, relevant_spread=0.0)
+    np.testing.assert_array_equal(plain.x_train, explicit.x_train)
+    np.testing.assert_array_equal(plain.y_train, explicit.y_train)
+
+
 def _write_reference_format_pkls(base, retrieve="robust04", name="bm25",
                                  n_q=6, seq_len=10, n_stats=2):
     """Tiny dataset in the exact reference on-disk layout."""
