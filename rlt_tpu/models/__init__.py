@@ -33,7 +33,8 @@ def build_model(name: str, *, seq_len: int, input_size: int, dropout: float,
                 num_tasks: float = 3, use_pallas: bool = False):
     """Model dispatch mirroring run.py:59-102 constructor arguments."""
     if name == "bicut":
-        return BiCut(input_size=input_size, dropout=dropout)
+        return BiCut(input_size=input_size, dropout=dropout,
+                     use_pallas=use_pallas)
     if name == "choopy":
         return Choopy(seq_len=seq_len, dropout=dropout, use_pallas=use_pallas)
     if name == "attncut":

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rlt_tpu.ops.attention import multi_head_attention
+from rlt_tpu.ops.lstm import fused_lstm
 
 
 # ---------------------------------------------------------------------------
@@ -105,12 +106,15 @@ def _default_unroll() -> int:
     return value
 
 
-def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int | None = None):
+def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool,
+               unroll: int | None = None, use_pallas: bool = False):
     """Single-direction LSTM over (B, L, F) -> (B, L, H).
 
     The input projection for every timestep is one (B*L, F) @ (F, 4H) matmul
-    hoisted out of the scan; the scan body is the recurrent matmul + gates.
-    Gate order i, f, g, o matches torch.
+    hoisted out of the scan; the recurrence is either the Pallas fused kernel
+    (rlt_tpu.ops.lstm — h/c/W_hh resident in VMEM for all L steps) or a
+    `lax.scan` whose body is the recurrent matmul + gates. Gate order
+    i, f, g, o matches torch.
     """
     batch = x.shape[0]
     hidden = w_hh.shape[1]
@@ -119,26 +123,30 @@ def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool, unroll: int | None = No
     if reverse:
         xw = jnp.flip(xw, axis=0)
 
-    w_hh_t = w_hh.T  # (H, 4H)
+    # the fused kernel needs lane-aligned H; every model here uses H = 128
+    if use_pallas and hidden % 128 == 0:
+        ys = fused_lstm(xw, w_hh.T)
+    else:
+        w_hh_t = w_hh.T  # (H, 4H)
 
-    def step(carry, x_t):
-        h, c = carry
-        gates = x_t + h @ w_hh_t
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        i = jax.nn.sigmoid(i)
-        f = jax.nn.sigmoid(f)
-        g = jnp.tanh(g)
-        o = jax.nn.sigmoid(o)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+        def step(carry, x_t):
+            h, c = carry
+            gates = x_t + h @ w_hh_t
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
 
-    init = (
-        jnp.zeros((batch, hidden), x.dtype),
-        jnp.zeros((batch, hidden), x.dtype),
-    )
-    _, ys = jax.lax.scan(step, init, xw,
-                         unroll=_default_unroll() if unroll is None else unroll)
+        init = (
+            jnp.zeros((batch, hidden), x.dtype),
+            jnp.zeros((batch, hidden), x.dtype),
+        )
+        _, ys = jax.lax.scan(step, init, xw,
+                             unroll=_default_unroll() if unroll is None else unroll)
     if reverse:
         ys = jnp.flip(ys, axis=0)
     return jnp.swapaxes(ys, 0, 1)  # (B, L, H)
@@ -151,6 +159,7 @@ class LSTM(nn.Module):
     hidden_size: int = 128
     num_layers: int = 2
     bidirectional: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -165,7 +174,8 @@ class LSTM(nn.Module):
                 w_hh = self.param(f"weight_hh_{suffix}", init, (4 * self.hidden_size, self.hidden_size))
                 b_ih = self.param(f"bias_ih_{suffix}", init, (4 * self.hidden_size,))
                 b_hh = self.param(f"bias_hh_{suffix}", init, (4 * self.hidden_size,))
-                outs.append(_lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse))
+                outs.append(_lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse,
+                                       use_pallas=self.use_pallas))
             x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         return x
 

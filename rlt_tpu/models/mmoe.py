@@ -93,7 +93,8 @@ class MMOECut(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        experts_in = LSTM(self.encoding_size, 2, name="pre_encoding")(x)  # (B, L, 2H)
+        experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
+                          name="pre_encoding")(x)  # (B, L, 2H)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
@@ -129,7 +130,8 @@ class MOECut(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        experts_in = LSTM(self.encoding_size, 2, name="pre_encoding")(x)
+        experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
+                          name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
@@ -165,7 +167,8 @@ class PLECut(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        experts_in = LSTM(self.encoding_size, 2, name="pre_encoding")(x)
+        experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
+                          name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,

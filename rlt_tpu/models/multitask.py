@@ -67,7 +67,7 @@ class MtAttnCut(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = LSTM(128, 2, name="pre_encoding")(x)
+        x = LSTM(128, 2, use_pallas=self.use_pallas, name="pre_encoding")(x)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="encoding_layer",

@@ -35,7 +35,8 @@ class ProbeBase(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        experts_in = LSTM(self.encoding_size, 2, name="pre_encoding")(x)
+        experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
+                          name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,

@@ -31,10 +31,12 @@ class BiCut(nn.Module):
     lstm_layers: int = 2
     fc_dimensions: int = 256
     dropout: float = 0.4
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = LSTM(self.lstm_hidden_size, self.lstm_layers, name="bilstm")(x)
+        x = LSTM(self.lstm_hidden_size, self.lstm_layers,
+                 use_pallas=self.use_pallas, name="bilstm")(x)
         x = TorchLinear(self.fc_dimensions, name="fc")(x)
         x = nn.relu(x)
         x = TorchLinear(2, name="decision")(x)
@@ -74,7 +76,7 @@ class AttnCut(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = LSTM(128, 2, name="encoding_layer")(x)
+        x = LSTM(128, 2, use_pallas=self.use_pallas, name="encoding_layer")(x)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="attention_layer",
