@@ -135,7 +135,7 @@ def bench_model(model_name: str, queries: int = 250, k_long: int = 21,
     cfg = config_lib.apply_preset(cfg)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
-        cfg = dataclasses.replace(cfg, use_pallas_attention=False)
+        cfg = dataclasses.replace(cfg, use_pallas=False)
 
     trainer = Trainer(cfg)
     per_epoch, compile_s, flops = time_epochs(trainer, k_long)

@@ -68,7 +68,7 @@ class TrainConfig:
 
     # TPU execution
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16' matmul inputs
-    use_pallas_attention: bool = True # fused attention kernel on TPU
+    use_pallas: bool = True  # Pallas kernels (fused attention + fused LSTM) on TPU
     scan_block_epochs: int = 25       # epochs per scanned program invocation
     data_parallel: bool = False       # shard batch over a Mesh('data')
 

@@ -34,7 +34,7 @@ class Predictor:
             raise ValueError("probe_base is a probing vehicle, not an "
                              "inference model; use rlt_tpu.verify_probe")
         self.cfg = cfg
-        use_pallas = cfg.use_pallas_attention and pallas_supported()
+        use_pallas = cfg.use_pallas and pallas_supported()
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
             dropout=cfg.dropout, num_tasks=cfg.num_tasks,

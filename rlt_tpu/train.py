@@ -272,7 +272,7 @@ class Trainer:
                 )
         self.data = DeviceDataset.from_host(data, cfg.batch_size, sharding=sharding)
 
-        use_pallas = cfg.use_pallas_attention and pallas_supported()
+        use_pallas = cfg.use_pallas and pallas_supported()
         self.model = build_model(
             cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,
             dropout=cfg.dropout, num_tasks=cfg.num_tasks,

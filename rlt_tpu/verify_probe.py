@@ -62,7 +62,7 @@ class ProbeTrainer:
                                          **synthetic_config(cfg.retrieve_data, cfg.dataset_name))
         self.data = DeviceDataset.from_host(data, cfg.batch_size)
 
-        use_pallas = cfg.use_pallas_attention and pallas_supported()
+        use_pallas = cfg.use_pallas and pallas_supported()
         self.base = ProbeBase(seq_len=cfg.seq_len, num_tasks=cfg.num_tasks,
                               input_size=cfg.input_size, dropout=cfg.dropout,
                               num_experts=2, use_pallas=use_pallas)

@@ -79,7 +79,7 @@ def test_trainer_epoch_hlo_has_all_reduce():
     cfg = TrainConfig(
         model_name="attncut", seq_len_override=16, input_size_override=3,
         synthetic_queries=40, batch_size=16, epochs=1,
-        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
     )
     data = synthetic_dataset(num_queries=40, seq_len=16, num_features=3,
                              mean_relevant=4.0, seed=0)
@@ -112,7 +112,7 @@ def test_trainer_data_parallel_on_cpu_mesh():
     cfg = TrainConfig(
         model_name="attncut", seq_len_override=16, input_size_override=3,
         synthetic_queries=40, batch_size=16, epochs=2,
-        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
     )
     data = synthetic_dataset(num_queries=40, seq_len=16, num_features=3,
                              mean_relevant=4.0, seed=0)
@@ -133,7 +133,7 @@ def test_data_parallel_matches_single_device():
     cfg = TrainConfig(
         model_name="attncut", seq_len_override=16, input_size_override=3,
         synthetic_queries=32, batch_size=16, epochs=3, dropout=0.0,
-        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
     )
     data = synthetic_dataset(num_queries=32, seq_len=16, num_features=3,
                              mean_relevant=4.0, seed=0)

@@ -220,7 +220,7 @@ def test_trec_to_training_end_to_end(tmp_path):
     data = load_pkl_dataset(str(out), "robust04", "bm25", family="choopy")
     cfg = TrainConfig(
         model_name="choopy", dataset_name="bm25", seq_len_override=12,
-        batch_size=8, epochs=2, use_pallas_attention=False,
+        batch_size=8, epochs=2, use_pallas=False,
         log_dir="/tmp/rlt_tpu_test_runs",
     )
     summary = Trainer(cfg, data=data).run()

@@ -21,7 +21,7 @@ def tiny_cfg(model_name, **kw):
         synthetic_queries=24,
         batch_size=8,
         epochs=2,
-        use_pallas_attention=False,
+        use_pallas=False,
         log_dir="/tmp/rlt_tpu_test_runs",
     )
     base.update(kw)
@@ -123,7 +123,7 @@ def test_trainer_mq2007_shapes():
         cfg = TrainConfig(
             model_name=model_name, retrieve_data="mq2007",
             synthetic_queries=24, batch_size=8, epochs=1,
-            use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+            use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
         )
         assert cfg.seq_len == 40 and cfg.input_size == feats
         trainer = Trainer(cfg, data=tiny_data(cfg))

@@ -12,7 +12,7 @@ def tiny_cfg(**kw):
     base = dict(
         model_name="attncut", seq_len_override=12, input_size_override=3,
         synthetic_queries=20, batch_size=8, epochs=2,
-        use_pallas_attention=False, log_dir="/tmp/rlt_tpu_test_runs",
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
         lr=1e-3, weight_decay=0.0,
     )
     base.update(kw)
