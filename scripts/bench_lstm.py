@@ -123,7 +123,7 @@ def model_level(records):
             cfg = config_lib.apply_preset(config_lib.TrainConfig(
                 model_name=model, dataset_name="drmm_tks",
                 use_pallas=pallas))
-            per_epoch, compile_s, _ = time_epochs(Trainer(cfg), k_long=21)
+            per_epoch, compile_s = time_epochs(Trainer(cfg), k_long=21)
             times[pallas] = per_epoch
             records.append({"level": "model", "model": model,
                             "pallas": pallas,
