@@ -170,12 +170,13 @@ def time_inference(trainer, batch: int = 256, iters: int = 50):
 
 
 def bench_model(model_name: str, queries: int = 250, k_long: int = 21,
-                with_infer: bool = True):
+                with_infer: bool = True, compute_dtype: str = "float32"):
     from rlt_tpu import config as config_lib
     from rlt_tpu.train import Trainer
 
     cfg = config_lib.TrainConfig(model_name=model_name, dataset_name="drmm_tks",
-                                 synthetic_queries=queries)
+                                 synthetic_queries=queries,
+                                 compute_dtype=compute_dtype)
     cfg = config_lib.apply_preset(cfg)
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not on_tpu:
@@ -211,6 +212,14 @@ def main(quick: bool = False) -> None:
         per_model[name] = bench_model(name, k_long=6 if quick else 21,
                                       with_infer=True)
         print(f"# {name}: {per_model[name]}", file=sys.stderr)
+
+    if not quick:
+        # production mixed-precision point (convergence parity shown in
+        # RESULTS.md "bfloat16 compute path"; MFU keys off the same bf16 peak)
+        per_model["mmoecut_bf16"] = bench_model("mmoecut", k_long=21,
+                                                with_infer=True,
+                                                compute_dtype="bfloat16")
+        print(f"# mmoecut_bf16: {per_model['mmoecut_bf16']}", file=sys.stderr)
 
     scaling = {}
     if not quick:

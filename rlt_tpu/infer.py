@@ -58,10 +58,22 @@ class Predictor:
         self.params = params
 
         model_name = cfg.model_name
+        # serving mixed precision mirrors train.py:146: bf16 matmul inputs,
+        # decode/distribution back in f32 (measured 1.1-1.6x per epoch with
+        # convergence parity — RESULTS.md "bfloat16 compute path")
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         @jax.jit
         def _predict(params, x):
+            if cdtype is not None:
+                cast = lambda a: a.astype(cdtype) if a.dtype == jnp.float32 else a
+                params = jax.tree.map(cast, params)
+                x = x.astype(cdtype)
             output = self.model.apply({"params": params}, x, deterministic=True)
+            if cdtype is not None:
+                to32 = lambda a: a.astype(jnp.float32)
+                output = ([to32(o) for o in output]
+                          if isinstance(output, (list, tuple)) else to32(output))
             ks = decode_ks(model_name, output)
             cut = output[-1] if "m" in model_name else output
             if model_name == "bicut":
@@ -134,13 +146,17 @@ def main(argv=None):
     p.add_argument("--dataset-name", type=str, default="drmm_tks")
     p.add_argument("--throughput", action="store_true",
                    help="also report steady-state ranked-lists/sec")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="serve with bf16 matmul inputs (faster on the MXU)")
     p.add_argument("--out", type=str, default=None, help="write JSON here")
     args = p.parse_args(argv)
 
     cfg = TrainConfig(model_name=args.model_name, model_path=args.model_path,
                       retrieve_data=args.retrieve_data,
                       dataset_name=args.dataset_name,
-                      dataset_base=args.dataset_base)
+                      dataset_base=args.dataset_base,
+                      compute_dtype=args.compute_dtype)
     from rlt_tpu.config import loader_family
 
     family = loader_family(cfg.model_name, cfg.retrieve_data)

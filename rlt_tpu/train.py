@@ -547,6 +547,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume params+optimizer+epoch from the last snapshot")
     p.add_argument("--conf-file", type=str, default=None,
                    help="reference-format hyper_parameter_*.conf to apply")
+    p.add_argument("--compute-dtype", type=str, default=d.compute_dtype,
+                   choices=("float32", "bfloat16"),
+                   help="matmul input dtype; bfloat16 runs the MXU at 2x "
+                        "(measured 1.1-1.6x whole-epoch, convergence within "
+                        "0.15%% — RESULTS.md). float32 default preserves "
+                        "torch-parity semantics")
     return p
 
 
@@ -567,6 +573,7 @@ def config_from_args(args) -> config_lib.TrainConfig:
         regularizer_search=bool(args.regularizer_search),
         mt_search=bool(args.mt_search), search_times=args.search_times,
         parameter_record=args.parameter_record,
+        compute_dtype=args.compute_dtype,
     )
     # config-file override chain (run.py:339-347)
     if args.conf_file:

@@ -165,6 +165,36 @@ def test_bfloat16_compute_path():
     assert all(l.dtype == np.float32 for l in leaves)
 
 
+def test_bfloat16_predictor_close_to_f32():
+    from rlt_tpu.infer import Predictor
+
+    cfg32 = tiny_cfg("attncut")
+    pred32 = Predictor(cfg32)
+    pred16 = Predictor(tiny_cfg("attncut", compute_dtype="bfloat16"),
+                       params=pred32.params)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, cfg32.seq_len, cfg32.input_size)).astype(np.float32)
+    ks32, dist32 = pred32.predict_with_distribution(x)
+    ks16, dist16 = pred16.predict_with_distribution(x)
+    assert dist16.dtype == np.float32  # outputs cast back for consumers
+    np.testing.assert_allclose(dist16, dist32, atol=5e-2)
+    # cut positions may differ only where the distribution is near-tied
+    moved = ks16 != ks32
+    if moved.any():
+        gap = np.abs(dist32[np.arange(4), ks32 - 1]
+                     - dist32[np.arange(4), ks16 - 1])
+        assert np.all(gap[moved[: gap.shape[0]]] < 5e-2)
+
+
+def test_train_cli_compute_dtype_flag():
+    from rlt_tpu.train import build_argparser, config_from_args
+
+    args = build_argparser().parse_args(
+        ["--model-name", "attncut", "--compute-dtype", "bfloat16"])
+    cfg = config_from_args(args)
+    assert cfg.compute_dtype == "bfloat16"  # survives apply_preset
+
+
 def test_conf_file_roundtrip(tmp_path):
     """Reference-format hyper_parameter_*.conf files keep working."""
     from rlt_tpu.config import TrainConfig, load_conf_file
