@@ -71,6 +71,10 @@ class TrainConfig:
     use_pallas: bool = True  # Pallas kernels (fused attention + fused LSTM) on TPU
     scan_block_epochs: int = 25       # epochs per scanned program invocation
     data_parallel: bool = False       # shard batch over a Mesh('data')
+    # >1 adds a 'model' mesh axis (with data_parallel): expert-parallel MMOE
+    # stacks when num_experts divides it, Megatron FFN tensor parallelism
+    # otherwise (rlt_tpu/parallel/sharding.py)
+    model_parallel: int = 1
 
     @property
     def seq_len(self) -> int:

@@ -1,12 +1,12 @@
 """Mesh + sharding helpers for data-parallel truncation training.
 
 Workload analysis (SURVEY §5.8): models are a few M params, datasets are a few
-hundred queries — batch data parallelism is the only axis with payoff, so the
-framework ships a 1-D "data" mesh. Parameters are replicated; each chip holds
-a batch shard; XLA turns the jitted gradient computation into per-shard
-compute + one psum over ICI. No TP/PP/EP is warranted (the MMOE experts are
-dense-activated, not sparse-routed — reference models/MMOECut.py runs every
-expert for every input)."""
+hundred queries — batch data parallelism is the axis with guaranteed payoff,
+so this module ships the default 1-D "data" mesh. Parameters are replicated;
+each chip holds a batch shard; XLA turns the jitted gradient computation into
+per-shard compute + one psum over ICI. For the regimes where one chip stops
+being enough, sharding.py adds the optional 2-D (data, model) mesh with
+expert-parallel / FFN-tensor-parallel per-tensor layouts."""
 
 from __future__ import annotations
 

@@ -255,9 +255,11 @@ class Trainer:
         self.model_name = cfg.model_name
         self.mesh = None
         if cfg.data_parallel and sharding is None:
-            from rlt_tpu.parallel import batch_sharding, data_parallel_mesh
+            from rlt_tpu.parallel import (batch_sharding, data_parallel_mesh,
+                                          mesh_2d)
 
-            self.mesh = data_parallel_mesh()
+            self.mesh = (mesh_2d(model_parallel=cfg.model_parallel)
+                         if cfg.model_parallel > 1 else data_parallel_mesh())
             sharding = batch_sharding(self.mesh)
         family = config_lib.loader_family(cfg.model_name, cfg.retrieve_data)
         if data is None:
@@ -295,11 +297,16 @@ class Trainer:
                     "model_path %r has no loadable checkpoint; training from "
                     "fresh init", cfg.model_path,
                 )
-        self.state = TrainState(params, self.optimizer.init(params), dkey)
         if self.mesh is not None:
-            from rlt_tpu.parallel import replicated
+            from rlt_tpu.parallel import param_shardings, replicated
 
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            # commit params with their per-tensor layouts (all replicated on
+            # a 1-D data mesh; ep/tp splits over 'model' on a 2-D one). The
+            # optimizer state inherits each param's sharding via zeros_like.
+            params = jax.tree.map(jax.device_put, params,
+                                  param_shardings(params, self.mesh))
+            dkey = jax.device_put(dkey, replicated(self.mesh))
+        self.state = TrainState(params, self.optimizer.init(params), dkey)
 
         self.epoch_fn, self.multi_epoch_fn = build_epoch_fn(
             self.model, self.criterion, self.optimizer, cfg

@@ -1,10 +1,37 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import re
+
 import jax
 import numpy as np
 import pytest
 
-from rlt_tpu.parallel import batch_sharding, data_parallel_mesh, replicated
+from rlt_tpu.parallel import (
+    batch_sharding,
+    data_parallel_mesh,
+    mesh_2d,
+    param_shardings,
+    replicated,
+)
+
+
+def collective_group_sizes(hlo_text: str) -> set:
+    """Sizes of the replica groups of every all-reduce/all-gather/
+    reduce-scatter in compiled HLO. Handles both group syntaxes XLA emits:
+    literal `replica_groups={{0,1},{2,3}}` and iota
+    `replica_groups=[2,4]<=[4,2]T(1,0)` (2 groups of 4)."""
+    sizes = set()
+    for line in hlo_text.splitlines():
+        if not any(c in line for c in ("all-reduce", "all-gather",
+                                       "reduce-scatter")):
+            continue
+        m = re.search(r"replica_groups=\{\{([\d,]+)\}", line)
+        if m:
+            sizes.add(len(m.group(1).split(",")))
+        m = re.search(r"replica_groups=\[(\d+),(\d+)\]<=", line)
+        if m:
+            sizes.add(int(m.group(2)))
+    return sizes
 
 
 def cpu_devices():
@@ -142,3 +169,114 @@ def test_data_parallel_matches_single_device():
     sharded = Trainer(cfg, data=data, sharding=batch_sharding(mesh)).run()
     assert abs(single["best_f1"] - sharded["best_f1"]) < 1e-4
     assert abs(single["best_dcg"] - sharded["best_dcg"]) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# 2-D (data, model) mesh: expert / tensor parallelism (parallel/sharding.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mesh_2d_shape_and_refusal():
+    devs = cpu_devices()
+    if len(devs) >= 8:
+        mesh = mesh_2d(8, model_parallel=2, devices=devs[:8])
+        assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="must divide"):
+        mesh_2d(8, model_parallel=3, devices=devs or None)
+    with pytest.raises(ValueError, match="need 1024 devices"):
+        mesh_2d(1024, model_parallel=2)
+
+
+@needs_multi_cpu
+def test_param_sharding_rules_tp_and_ep():
+    """E=3 experts cannot split over a 2-way model axis -> Megatron FFN tp;
+    E=4 -> whole-expert ep on the vmapped leading axis; towers/LSTM/gates
+    stay replicated in both."""
+    from jax.sharding import PartitionSpec as P
+
+    import __graft_entry__ as ge
+
+    def specs(num_experts):
+        _, state, _, _, mesh = ge.build_dryrun_step(
+            8, cpu_devices()[:8], model_parallel=2, num_experts=num_experts)
+        return jax.tree.map(lambda a: a.sharding.spec, state.params), mesh
+
+    tp, _ = specs(3)
+    enc = tp["experts"]["attention_layer"]["layers_0"]
+    assert enc["linear1"]["weight"] == P(None, "model", None)
+    assert enc["linear1"]["bias"] == P(None, "model")
+    assert enc["linear2"]["weight"] == P(None, None, "model")
+    assert enc["linear2"]["bias"] == P()
+    assert enc["self_attn"]["in_proj_weight"] == P()  # torch qkv interleaving
+    assert tp["w_gates"] == P()
+    assert tp["pre_encoding"]["weight_ih_l0"] == P()
+    assert tp["tower_cut"]["linear"]["weight"] == P()
+
+    ep, _ = specs(4)
+    enc = ep["experts"]["attention_layer"]["layers_0"]
+    assert enc["linear1"]["weight"] == P("model", None, None)
+    assert enc["self_attn"]["in_proj_weight"] == P("model", None, None)
+    assert ep["w_gates"] == P()
+
+
+@needs_multi_cpu
+def test_tp_and_ep_steps_match_data_parallel():
+    """Same seed + data: the 2-D layouts must reproduce the 1-D data-parallel
+    loss bit-for-bit up to reduction order (partitionable threefry keeps the
+    dropout bits sharding-independent)."""
+    import __graft_entry__ as ge
+
+    devs = cpu_devices()[:8]
+
+    def one_step(model_parallel, num_experts):
+        step, state, x, y, mesh = ge.build_dryrun_step(
+            8, devs, model_parallel=model_parallel, num_experts=num_experts)
+        with mesh:
+            _, loss = step(state, x, y)
+        return float(loss)
+
+    assert abs(one_step(2, 3) - one_step(1, 3)) < 1e-6  # tp vs dp
+    assert abs(one_step(2, 4) - one_step(1, 4)) < 1e-6  # ep vs dp
+
+
+@needs_multi_cpu
+@pytest.mark.parametrize("num_experts", [3, 4], ids=["tp", "ep"])
+def test_2d_hlo_has_model_and_data_axis_collectives(num_experts):
+    """The compiled 2-D step must communicate over BOTH axes: size-2 groups
+    (the model axis: FFN partial products / expert mixing) and size-4 groups
+    (the data axis: gradient psum). A compilation that resharded everything
+    to one device would have neither."""
+    import __graft_entry__ as ge
+
+    step, state, x, y, mesh = ge.build_dryrun_step(
+        8, cpu_devices()[:8], model_parallel=2, num_experts=num_experts)
+    with mesh:
+        txt = step.lower(state, x, y).compile().as_text()
+    sizes = collective_group_sizes(txt)
+    assert 2 in sizes, f"no model-axis collective; group sizes: {sizes}"
+    assert 4 in sizes, f"no data-axis collective; group sizes: {sizes}"
+
+
+@needs_multi_cpu
+def test_trainer_model_parallel_matches_single_device():
+    """End-to-end Trainer on the (4, 2) mesh (mmoecut E=3 -> FFN tp) must
+    reproduce the single-device run."""
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model_name="mmoecut", seq_len_override=16, input_size_override=3,
+        synthetic_queries=32, batch_size=16, epochs=2, dropout=0.0,
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
+        data_parallel=True, model_parallel=2,
+    )
+    data = synthetic_dataset(num_queries=32, seq_len=16, num_features=3,
+                             mean_relevant=4.0, seed=0)
+    sharded = Trainer(cfg, data=data).run()
+    import dataclasses
+
+    single = Trainer(dataclasses.replace(cfg, data_parallel=False,
+                                         model_parallel=1), data=data).run()
+    assert abs(sharded["best_f1"] - single["best_f1"]) < 1e-4
+    assert abs(sharded["best_dcg"] - single["best_dcg"]) < 1e-3
