@@ -1,0 +1,235 @@
+"""Production truncation server: HTTP JSON API over the jitted Predictor.
+
+The reference stops at training (run.py decodes cuts inside its eval loop,
+run.py:131-142); deploying a trained truncation model needs a serving
+surface. This daemon wraps `rlt_tpu.infer.Predictor` with the pieces a
+TPU-backed service needs:
+
+* **static-shape bucketing** — XLA compiles one program per input shape, so
+  arbitrary request batch sizes would recompile endlessly. Requests are
+  zero-padded up to the next power-of-two bucket (≤ max_batch), giving at
+  most log2(max_batch)+1 compiles per process lifetime; pad rows are sliced
+  off the response.
+* **ragged list handling** — ranked lists shorter than the model's seq_len
+  are zero-padded (the same static-shape convention as training,
+  rlt_tpu/data/batching.py) and the returned cut k is clamped to the true
+  list length.
+* **stdlib-only HTTP** — `http.server.ThreadingHTTPServer`; one lock
+  serializes device dispatch (a single chip executes serially anyway; the
+  lock also keeps the latency stats coherent).
+
+Endpoints:
+  GET  /healthz            -> {"ok": true, "model": ..., "seq_len": ...}
+  GET  /stats              -> request/list counters + latency percentiles
+  POST /truncate           -> body {"features": [[[...]]]} (B lists x <=L
+                              positions x F features) or {"scores": [[...]]}
+                              for score-only (F=1) models; returns
+                              {"k": [...]}, plus per-list distributions when
+                              the body sets "return_distribution": true.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from rlt_tpu.config import TrainConfig
+from rlt_tpu.infer import Predictor
+
+
+def bucket_size(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n, capped at max_batch (n <= max_batch)."""
+    if n > max_batch:
+        raise ValueError(f"batch of {n} exceeds max_batch={max_batch}")
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+class TruncationService:
+    """Predictor + bucketing + stats; the HTTP layer delegates here so tests
+    can also drive it directly."""
+
+    def __init__(self, cfg: TrainConfig, params=None, max_batch: int = 256):
+        self.cfg = cfg
+        self.predictor = Predictor(cfg, params=params)
+        self.max_batch = max_batch
+        self._lock = threading.Lock()
+        self._latencies = deque(maxlen=1024)  # seconds, per /truncate call
+        self.requests = 0
+        self.lists_served = 0
+
+    # -- input shaping ------------------------------------------------------
+
+    def _to_features(self, body: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Parse request body into (B, L, F) padded features + true lengths."""
+        L, F = self.cfg.seq_len, self.cfg.input_size
+        if "features" in body:
+            rows = body["features"]
+            want_f = F
+        elif "scores" in body:
+            if F != 1:
+                raise ValueError(
+                    f"model {self.cfg.model_name!r} wants {F} features per "
+                    "position; send 'features', not 'scores'")
+            rows = [[[s] for s in row] for row in body["scores"]]
+            want_f = 1
+        else:
+            raise ValueError("body must contain 'features' or 'scores'")
+        if not isinstance(rows, list) or not rows:
+            raise ValueError("empty request")
+        lengths = np.zeros(len(rows), np.int32)
+        x = np.zeros((len(rows), L, want_f), np.float32)
+        for i, row in enumerate(rows):
+            a = np.asarray(row, np.float32)
+            if a.ndim != 2 or a.shape[1] != want_f:
+                raise ValueError(
+                    f"list {i}: expected (<= {L}, {want_f}) positions x "
+                    f"features, got {a.shape}")
+            if a.shape[0] > L:
+                raise ValueError(
+                    f"list {i}: {a.shape[0]} positions exceeds the model's "
+                    f"seq_len {L}")
+            x[i, : a.shape[0]] = a
+            lengths[i] = a.shape[0]
+        return x, lengths
+
+    # -- serving ------------------------------------------------------------
+
+    def truncate(self, body: dict) -> dict:
+        x, lengths = self._to_features(body)
+        n = x.shape[0]
+        b = bucket_size(n, self.max_batch)
+        if b > n:  # pad to the bucket's static shape
+            x = np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)])
+        t0 = time.perf_counter()
+        with self._lock:
+            ks, dist = self.predictor.predict_with_distribution(x)
+            dt = time.perf_counter() - t0
+            self._latencies.append(dt)
+            self.requests += 1
+            self.lists_served += n
+        ks = np.minimum(ks[:n].astype(np.int64), lengths)  # clamp to true len
+        out = {"k": ks.tolist(), "bucket": b, "latency_ms": round(dt * 1e3, 3)}
+        if body.get("return_distribution"):
+            out["distribution"] = [
+                np.asarray(dist[i][: lengths[i]]).tolist() for i in range(n)
+            ]
+        return out
+
+    def health(self) -> dict:
+        return {
+            "ok": True,
+            "model": self.cfg.model_name,
+            "seq_len": self.cfg.seq_len,
+            "input_size": self.cfg.input_size,
+            "compute_dtype": self.cfg.compute_dtype,
+            "max_batch": self.max_batch,
+        }
+
+    def stats(self) -> dict:
+        lat = sorted(self._latencies)
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 3)
+
+        return {
+            "requests": self.requests,
+            "lists_served": self.lists_served,
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99)},
+        }
+
+
+def make_server(service: TruncationService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; port 0 picks a free port."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, service.health())
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/truncate":
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                self._send(200, service.truncate(body))
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # malformed JSON etc.
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, *args):  # quiet by default; stats cover it
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("rlt_tpu.serve")
+
+    p = argparse.ArgumentParser(description="rlt_tpu truncation server")
+    p.add_argument("--model-name", type=str, default="attncut")
+    p.add_argument("--model-path", type=str, default=None,
+                   help="checkpoint from training (--model-persist)")
+    p.add_argument("--retrieve-data", type=str, default="robust04",
+                   help="shape preset: robust04 (L=300) | mq2007 (L=40)")
+    p.add_argument("--compute-dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every bucket before accepting traffic")
+    args = p.parse_args(argv)
+
+    cfg = TrainConfig(model_name=args.model_name, model_path=args.model_path,
+                      retrieve_data=args.retrieve_data,
+                      compute_dtype=args.compute_dtype)
+    service = TruncationService(cfg, max_batch=args.max_batch)
+    if args.warmup:
+        b = 1
+        while b <= args.max_batch:
+            logger.info("warmup: compiling bucket %d", b)
+            service.truncate({"features": np.zeros(
+                (b, 1, cfg.input_size), np.float32).tolist()})
+            b *= 2
+    server = make_server(service, args.host, args.port)
+    logger.info("serving %s on http://%s:%d (seq_len=%d, max_batch=%d)",
+                cfg.model_name, *server.server_address, cfg.seq_len,
+                args.max_batch)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
