@@ -554,6 +554,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="resume params+optimizer+epoch from the last snapshot")
     p.add_argument("--conf-file", type=str, default=None,
                    help="reference-format hyper_parameter_*.conf to apply")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard the batch over all visible chips (Mesh('data'))")
+    p.add_argument("--model-parallel", type=int, default=d.model_parallel,
+                   help="with --data-parallel 1: size of the second mesh axis "
+                        "(expert-parallel MMOE stacks / Megatron FFN tp — "
+                        "rlt_tpu/parallel/sharding.py)")
     p.add_argument("--compute-dtype", type=str, default=d.compute_dtype,
                    choices=("float32", "bfloat16"),
                    help="matmul input dtype; bfloat16 runs the MXU at 2x "
@@ -581,6 +587,8 @@ def config_from_args(args) -> config_lib.TrainConfig:
         mt_search=bool(args.mt_search), search_times=args.search_times,
         parameter_record=args.parameter_record,
         compute_dtype=args.compute_dtype,
+        data_parallel=bool(args.data_parallel),
+        model_parallel=args.model_parallel,
     )
     # config-file override chain (run.py:339-347)
     if args.conf_file:

@@ -513,3 +513,15 @@ def test_best_params_always_present(tmp_path):
     summary = t2.run(resume=True)
     assert jax.tree.leaves(t2.best_params)
     assert np.isfinite(summary["best_f1"])
+
+
+def test_train_cli_parallel_flags():
+    from rlt_tpu.train import build_argparser, config_from_args
+
+    args = build_argparser().parse_args(
+        ["--model-name", "mmoecut", "--data-parallel", "1",
+         "--model-parallel", "2"])
+    cfg = config_from_args(args)
+    assert cfg.data_parallel is True and cfg.model_parallel == 2
+    default = config_from_args(build_argparser().parse_args([]))
+    assert default.data_parallel is False and default.model_parallel == 1
