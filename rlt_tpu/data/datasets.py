@@ -226,6 +226,7 @@ def synthetic_dataset(
     subtypes: int = 0,
     noise_scale: float = 1.0,
     relevant_spread: float = 0.0,
+    subtype_polarity: float = 0.0,
 ) -> RankedListData:
     """Deterministic synthetic ranked lists with robust04-like statistics.
 
@@ -255,6 +256,16 @@ def synthetic_dataset(
       subtype). Per-query routing over channels is exactly what the MMOE
       gate learns (reference MMOECut.py:30-41).
     * noise_scale: multiplies every additive noise sigma.
+    * subtype_polarity: with subtypes > 0, rotates the SIGN of the
+      informative channel's evidence across subtypes — channel
+      1 + (subtype % (F-1)) carries +w evidence when
+      (subtype // (F-1)) is even and -w (scaled by this knob) when odd.
+      With 4 subtypes and 2 stat channels every channel carries both
+      polarities across queries, so an unconditional pointwise read of any
+      channel is uninformative: a model must infer the subtype (the score
+      channel's decay rate is the cue) and condition its feature processing
+      on it — per-query conditional routing, the mechanism MMOE's per-query
+      gates implement natively (reference MMOECut.py:30-41, :95-102).
     * relevant_spread: widens the PER-QUERY relevant-count distribution —
       each query's Poisson mean is mean_relevant * Uniform(1-s, 1+s). The
       oracle (which adapts k per query) keeps its ceiling, but any fixed or
@@ -310,7 +321,11 @@ def synthetic_dataset(
     for c in range(1, num_features):
         if subtypes > 0:
             informative = (1 + (subtype % (num_features - 1))) == c  # (n,)
-            w = np.where(informative, 0.6, 0.0)[:, None].astype(np.float32)
+            # polarity rotation: odd subtype//(F-1) groups carry flipped
+            # evidence in their informative channel (see docstring)
+            odd_group = (subtype // max(num_features - 1, 1)) % 2 == 1
+            sign = np.where(odd_group, 1.0 - 2.0 * subtype_polarity, 1.0)
+            w = (np.where(informative, 0.6, 0.0) * sign)[:, None].astype(np.float32)
             # decoy: rank-correlated ramp of query-varying gain in the
             # uninformative channels — pointwise it mimics evidence
             decoy_gain = np.where(informative, 0.0,

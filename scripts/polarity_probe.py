@@ -1,0 +1,73 @@
+"""Probe the subtype-polarity hard-profile variant: does per-query
+conditional routing (MMOE's mechanism) separate MMOECut from AttnCut?
+
+Builds the hard profile with subtypes=4, subtype_polarity=1.0 — every stat
+channel carries +evidence for some query subtypes and -evidence for others
+(subtype cued by the score channel's decay rate), so an unconditional
+pointwise read of any channel is uninformative (data/datasets.py docstring).
+Trains the requested models at their conf hparams and records best F1 next
+to the oracle/greedy anchors. Incremental JSONL output so partial runs
+survive timeouts.
+"""
+
+import argparse
+import json
+import time
+
+import jax.numpy as jnp
+
+import rlt_tpu
+from rlt_tpu.config import TrainConfig, apply_preset
+from rlt_tpu.data.datasets import SYNTHETIC_HARD_PROFILE, synthetic_dataset
+from rlt_tpu.train import Trainer
+from rlt_tpu.utils import metrics as M
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", type=str, default="attncut,mmoecut")
+    p.add_argument("--seeds", type=str, default="0")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--polarity", type=float, default=1.0)
+    p.add_argument("--subtypes", type=int, default=4)
+    p.add_argument("--out", type=str, default="RESULTS_polarity.jsonl")
+    args = p.parse_args()
+
+    rlt_tpu.enable_compilation_cache()
+    prof = dict(SYNTHETIC_HARD_PROFILE, subtypes=args.subtypes,
+                subtype_polarity=args.polarity)
+
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        data = synthetic_dataset(num_queries=250, seq_len=300, num_features=3,
+                                 retrieval_quality=19.5, mean_relevant=45.0,
+                                 seed=seed, **prof)
+        yte, ytr = jnp.asarray(data.y_test), jnp.asarray(data.y_train)
+        anchors = {
+            "seed": seed, "kind": "anchors",
+            "oracle_f1": float(M.oracle_score(yte)),
+            "greedy_f1": float(M.fixed_k_score(yte, int(M.greedy_k(ytr)))),
+            "profile": prof,
+        }
+        print(json.dumps(anchors), flush=True)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(anchors) + "\n")
+
+        for m in args.models.split(","):
+            cfg = apply_preset(TrainConfig(
+                model_name=m, epochs=args.epochs, seed=seed,
+                log_dir="/tmp/rlt_polarity_runs"))
+            t0 = time.time()
+            s = Trainer(cfg, data=data).run()
+            rec = {"seed": seed, "kind": "model", "model": m,
+                   "best_f1": round(s["best_f1"], 5),
+                   "best5_f1": round(s["best5_f1"], 5),
+                   "best_dcg": round(s["best_dcg"], 4),
+                   "wall_s": round(time.time() - t0, 1),
+                   "epochs": args.epochs}
+            print(json.dumps(rec), flush=True)
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -255,3 +255,52 @@ def test_neighbor_cosine_single_document_list():
 
     out = neighbor_cosine_similarity(np.ones((1, 4), dtype=np.float32))
     np.testing.assert_array_equal(out, np.zeros((1,), dtype=np.float32))
+
+
+def test_subtype_polarity_flips_channel_evidence():
+    """With subtype_polarity=1 and 4 subtypes, each stat channel must carry
+    POSITIVE relevance evidence for its even subtype group and NEGATIVE for
+    its odd group — so no unconditional pointwise read of a channel works.
+    Subtype/grouping is reconstructed from the generator's own rng stream."""
+    import numpy as np
+
+    from rlt_tpu.data.datasets import synthetic_dataset
+
+    n, L, F, seed = 120, 64, 3, 11
+
+    def build(polarity):
+        return synthetic_dataset(
+            num_queries=n, seq_len=L, num_features=F, retrieval_quality=19.5,
+            mean_relevant=10.0, seed=seed, subtypes=4,
+            subtype_polarity=polarity, train_fraction=1.0)
+
+    # replay the generator's rng to recover each query's subtype: draws
+    # before `subtype` are the per-query placement choices (same count with
+    # relevant_spread=0: one poisson + one choice per query)
+    rng = np.random.default_rng(seed)
+    place = np.exp(-19.5 * np.arange(L, dtype=np.float32) / L)
+    for _ in range(n):
+        k = min(max(1, int(rng.poisson(10.0))), L)
+        rng.choice(L, size=k, replace=False, p=place / place.sum())
+    subtype = rng.integers(0, 4, size=n)
+
+    flipped = build(1.0)
+    assert np.array_equal(flipped.x_train, build(1.0).x_train)  # determinism
+
+    # polarity=0 vs 1 share every rng draw — the ONLY difference is the sign
+    # of the informative-channel evidence term, so the delta isolates it:
+    # odd-group rows get delta = -1.2*w*y_obs (negative wherever y_obs=1,
+    # pre-smoothing), even-group rows are bit-identical in every channel.
+    base = build(0.0)
+    delta = flipped.x_train - base.x_train
+    changed = np.abs(delta).sum(axis=(1, 2)) > 1e-6
+    # the permutation reorders rows, so compare counts, not positions
+    assert changed.sum() > 0
+    assert (~changed).sum() > 0
+    odd_count = int(((subtype // 2) % 2 == 1).sum())
+    # rows with no relevant docs observed in the informative channel could in
+    # principle be unchanged, but with mean 10 relevants that is negligible
+    assert abs(changed.sum() - odd_count) <= 2
+    # and the changed rows' informative-channel evidence is flipped: delta is
+    # everywhere <= 0 against the positive-evidence baseline
+    assert delta.max() <= 1e-6
