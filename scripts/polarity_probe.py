@@ -28,6 +28,9 @@ def main():
     p.add_argument("--models", type=str, default="attncut,mmoecut")
     p.add_argument("--seeds", type=str, default="0")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=None,
+                   help="override the conf preset lr (the bm25 analysis "
+                        "showed 3e-4 unlocks low-signal regimes)")
     p.add_argument("--polarity", type=float, default=1.0)
     p.add_argument("--subtypes", type=int, default=4)
     p.add_argument("--out", type=str, default="RESULTS_polarity.jsonl")
@@ -56,6 +59,10 @@ def main():
             cfg = apply_preset(TrainConfig(
                 model_name=m, epochs=args.epochs, seed=seed,
                 log_dir="/tmp/rlt_polarity_runs"))
+            if args.lr is not None:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, lr=args.lr)
             t0 = time.time()
             s = Trainer(cfg, data=data).run()
             rec = {"seed": seed, "kind": "model", "model": m,
