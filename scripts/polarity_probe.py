@@ -65,7 +65,7 @@ def main():
                 cfg = dataclasses.replace(cfg, lr=args.lr)
             t0 = time.time()
             s = Trainer(cfg, data=data).run()
-            rec = {"seed": seed, "kind": "model", "model": m,
+            rec = {"seed": seed, "kind": "model", "model": m, "lr": cfg.lr,
                    "best_f1": round(s["best_f1"], 5),
                    "best5_f1": round(s["best5_f1"], 5),
                    "best_dcg": round(s["best_dcg"], 4),
