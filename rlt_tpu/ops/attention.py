@@ -65,77 +65,106 @@ def keep_mask(stream, shape, dropout_rate: float):
 
 def _attn_fwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                      scale: float, dropout_rate: float):
-    q = q_ref[0].astype(jnp.float32)  # (L, dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    # q @ k^T without materializing the transpose (NT matmul on the MXU)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (L, L)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom
-    if dropout_rate > 0.0:
-        keep = keep_mask(stream_ref[0, 0, 0], s.shape, dropout_rate)
-        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(denom))[:, 0]
+    # Each program handles G (batch*head) slices (G = leading block dim):
+    # grouping amortizes the per-program dispatch/DMA-pipeline overhead that
+    # dominates at small (L, dh) — the per-slice math is unchanged, and each
+    # slice keeps its own dropout stream, so masks are grouping-invariant.
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g].astype(jnp.float32)  # (L, dh)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        # q @ k^T without materializing the transpose (NT matmul on the MXU)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (L, L)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / denom
+        if dropout_rate > 0.0:
+            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        o_ref[g] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        lse_ref[g, 0] = (m + jnp.log(denom))[:, 0]
 
 
 def _attn_bwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                      dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float):
     """Flash-style backward: recompute p from (q, k, lse); the softmax
     jacobian contraction uses delta = rowsum(do * o), which absorbs the
-    dropout mask exactly (delta = sum_j p_j * dp_j for the dropped p too)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # (L,)
+    dropout mask exactly (delta = sum_j p_j * dp_j for the dropped p too).
+    Like the forward, one program covers G slices (leading block dim)."""
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        o = o_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)
+        lse = lse_ref[g, 0]  # (L,)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse[:, None])  # pre-dropout softmax probs
-    dpd = jax.lax.dot_general(  # do @ v^T: grad wrt (post-dropout) probs
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if dropout_rate > 0.0:
-        keep = keep_mask(stream_ref[0, 0, 0], s.shape, dropout_rate)
-        inv = 1.0 / (1.0 - dropout_rate)
-        pd = jnp.where(keep, p * inv, 0.0)   # the probs the fwd actually used
-        dp = jnp.where(keep, dpd * inv, 0.0)  # chain rule through the mask
-    else:
-        pd, dp = p, dpd
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (L, 1)
-    ds = p * (dp - delta) * scale
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-    dk_ref[0] = jax.lax.dot_general(  # ds^T @ q
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dk_ref.dtype)
-    dv_ref[0] = jax.lax.dot_general(  # pd^T @ do
-        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse[:, None])  # pre-dropout softmax probs
+        dpd = jax.lax.dot_general(  # do @ v^T: grad wrt (post-dropout) probs
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if dropout_rate > 0.0:
+            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p * inv, 0.0)   # the probs the fwd actually used
+            dp = jnp.where(keep, dpd * inv, 0.0)  # chain rule through the mask
+        else:
+            pd, dp = p, dpd
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (L, 1)
+        ds = p * (dp - delta) * scale
+        dq_ref[g] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[g] = jax.lax.dot_general(  # ds^T @ q
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        dv_ref[g] = jax.lax.dot_general(  # pd^T @ do
+            pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
 
 
-def _flat_specs(seq_len: int, head_dim: int):
+def _flat_specs(seq_len: int, head_dim: int, group: int):
     # Per-slice dropout stream seeds ride as an (n, 1, 1) VMEM operand indexed
     # exactly like Q/K/V — NOT as an SMEM scalar: the pallas vmap batching
     # rule (MMOECut's experts vmap this op) broadcasts operands and prepends a
     # grid dim, which breaks a whole-array SMEM spec but composes fine with a
     # leading grid-indexed dim. Only the last two block dims face the TPU
     # 8/128-or-equal tiling rule, and (1, 1) == the array's trailing dims.
-    stream_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+    # The leading block dim is the per-program slice group G (free of tiling
+    # constraints).
+    stream_spec = pl.BlockSpec((group, 1, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((1, seq_len, head_dim), lambda i: (i, 0, 0),
+    mat = pl.BlockSpec((group, seq_len, head_dim), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     # LSE rides as (n, 1, L) for the same tiling reason: its trailing (1, L)
     # block equals the array dims, whereas a (1, L) row of (n, L) would not.
-    vec = pl.BlockSpec((1, 1, seq_len), lambda i: (i, 0, 0),
+    vec = pl.BlockSpec((group, 1, seq_len), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     return stream_spec, mat, vec
+
+
+# VMEM budget for the live (L, L) f32 intermediates of one program; the
+# per-core VMEM is ~16 MB and Q/K/V/O blocks + pipeline double-buffering need
+# their share. Live (L, L) tensors per slice: ~3 in the forward (s/e, p,
+# keep), ~5 in the backward (p, dpd, pd/dp, ds, keep).
+_GROUP_VMEM_BUDGET = 8 * 2**20
+
+
+def _pick_group(n: int, seq_len: int, live_mats: int) -> int:
+    """Largest G in {8, 4, 2, 1} dividing n whose live score tiles fit VMEM.
+
+    Grouping G slices per program amortizes per-program dispatch overhead,
+    which at these shapes (L<=384, dh<=64) is comparable to the per-slice
+    math itself (RESULTS.md 'Kernel' — ~0.7-0.9 us/program fixed cost)."""
+    per_slice = seq_len * seq_len * 4 * live_mats
+    for g in (8, 4, 2):
+        if n % g == 0 and g * per_slice <= _GROUP_VMEM_BUDGET:
+            return g
+    return 1
 
 
 def _streams(seed, n: int):
@@ -150,10 +179,11 @@ def _fwd_pallas(dropout_rate, interpret, q, k, v, seed):
     scale = 1.0 / math.sqrt(head_dim)
     n = batch * heads
     flat = (n, seq_len, head_dim)
-    stream_spec, mat, vec = _flat_specs(seq_len, head_dim)
+    group = _pick_group(n, seq_len, live_mats=3)
+    stream_spec, mat, vec = _flat_specs(seq_len, head_dim, group)
     o, lse = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale, dropout_rate=dropout_rate),
-        grid=(n,),
+        grid=(n // group,),
         in_specs=[stream_spec, mat, mat, mat],
         out_specs=(mat, vec),
         out_shape=(
@@ -175,10 +205,11 @@ def _bwd_pallas(dropout_rate, interpret, q, k, v, o, lse, do, seed):
     scale = 1.0 / math.sqrt(head_dim)
     n = batch * heads
     flat = (n, seq_len, head_dim)
-    stream_spec, mat, vec = _flat_specs(seq_len, head_dim)
+    group = _pick_group(n, seq_len, live_mats=5)
+    stream_spec, mat, vec = _flat_specs(seq_len, head_dim, group)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, dropout_rate=dropout_rate),
-        grid=(n,),
+        grid=(n // group,),
         in_specs=[stream_spec, mat, mat, mat, mat, mat, vec],
         out_specs=(mat, mat, mat),
         out_shape=(
@@ -235,8 +266,11 @@ def fused_attention(
     Differentiable (flash-style custom_vjp, probabilities recomputed in the
     backward kernel). With dropout_rate > 0, `seed` (int32 scalar array)
     drives in-kernel dropout on the softmax weights — the mask never touches
-    HBM. Grid is one program per (batch, head); each program holds its full
-    (L, dh) Q/K/V block and (L, L) score tile in VMEM (L <= 384, ~0.6 MB fp32).
+    HBM. Grid is one program per GROUP of (batch, head) slices (G in
+    {8,4,2,1} chosen by `_pick_group` to amortize per-program dispatch
+    overhead within the VMEM budget); each program holds its G (L, dh)
+    Q/K/V blocks and (L, L) score tiles in VMEM (L <= 384). Dropout masks
+    are per-slice and grouping-invariant.
     """
     if dropout_rate > 0.0 and seed is None:
         raise ValueError("fused_attention: dropout_rate > 0 requires a seed")

@@ -146,3 +146,46 @@ def test_dropout_requires_seed():
     q, k, v = qkv((1, 1, 8, 8))
     with pytest.raises(ValueError, match="requires a seed"):
         fused_attention(q, k, v, dropout_rate=0.1)
+
+
+def test_grouping_invariance(monkeypatch):
+    """Outputs and grads must not depend on the per-program slice group G
+    (the grid-overhead amortization knob): per-slice dropout streams make
+    the math grouping-invariant by construction. Force G=1 vs auto (G>1
+    for these shapes) and compare."""
+    from rlt_tpu.ops import attention as A
+
+    shape = (2, 4, 24, 8)  # n = 8 slices -> auto picks G=8
+    q, k, v = qkv(shape)
+    seed = jnp.asarray([7], jnp.int32)
+
+    def run():
+        def f(q):
+            return jnp.sum(
+                fused_attention(q, k, v, dropout_rate=0.25, seed=seed,
+                                interpret=True) ** 2)
+        return fused_attention(q, k, v, dropout_rate=0.25, seed=seed,
+                               interpret=True), jax.grad(f)(q)
+
+    assert A._pick_group(8, 24, live_mats=3) == 8
+    out_auto, g_auto = run()
+    monkeypatch.setattr(A, "_pick_group", lambda n, L, live_mats: 1)
+    out_g1, g_g1 = run()
+    np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_g1))
+    np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_g1), atol=1e-6)
+
+
+def test_pick_group_respects_divisibility_and_vmem():
+    from rlt_tpu.ops.attention import _GROUP_VMEM_BUDGET, _pick_group
+
+    # 504 = 63 batch * 8 heads (choopy robust04): bwd live tiles at L=300
+    # cap the group at 4; the fwd (fewer live tiles) also fits 4 but not 8.
+    assert _pick_group(504, 300, live_mats=5) == 4
+    assert _pick_group(504, 300, live_mats=3) == 4
+    # odd slice count cannot group
+    assert _pick_group(63, 40, live_mats=3) == 1
+    # small L groups maximally
+    assert _pick_group(256, 40, live_mats=5) == 8
+    # never exceed the VMEM budget
+    g = _pick_group(8, 384, live_mats=5)
+    assert g * 384 * 384 * 4 * 5 <= _GROUP_VMEM_BUDGET or g == 1
