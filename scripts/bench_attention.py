@@ -8,16 +8,22 @@ record per (shape, mode, path) to RESULTS_attention.json — the numbers that
 decide the training-path gating in models/layers.py.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention.py
+  [--group N]   force the per-program slice group (A/B the grid-overhead
+                amortization against the auto picker; --group 1 reproduces
+                the round-1 one-program-per-slice grid)
+  [--out FILE]  write records somewhere other than RESULTS_attention.json
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
 
+from rlt_tpu.ops import attention as _attention
 from rlt_tpu.ops.attention import fused_attention, xla_attention
 
 SHAPES = {
@@ -66,6 +72,14 @@ def timeit(fn, q, k, v):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--group", type=int, default=0,
+                    help="force the per-program slice group (0 = auto picker)")
+    ap.add_argument("--out", type=str, default="RESULTS_attention.json")
+    args = ap.parse_args()
+    if args.group:
+        _attention._pick_group = lambda n, L, live_mats, _g=args.group: (
+            _g if n % _g == 0 else 1)
     try:
         from rlt_tpu import enable_compilation_cache
 
@@ -118,10 +132,12 @@ def main():
             if "pallas" in d and "xla" in d:
                 print(f"{name:18s} {mode:15s} speedup xla/pallas = "
                       f"{d['xla'] / d['pallas']:.2f}x")
-    with open("RESULTS_attention.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump({"device": str(dev.device_kind), "dropout": DROPOUT,
-                   "warmup": WARMUP, "iters": ITERS, "records": records}, f, indent=1)
-    print("wrote RESULTS_attention.json")
+                   "warmup": WARMUP, "iters": ITERS,
+                   "forced_group": args.group or None, "records": records}, f,
+                  indent=1)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
