@@ -56,9 +56,13 @@ class TruncationService:
     """Predictor + bucketing + stats; the HTTP layer delegates here so tests
     can also drive it directly."""
 
-    def __init__(self, cfg: TrainConfig, params=None, max_batch: int = 256):
+    def __init__(self, cfg: TrainConfig, params=None, max_batch: int = 256,
+                 predictor=None):
         self.cfg = cfg
-        self.predictor = Predictor(cfg, params=params)
+        # `predictor` may be any object with predict_with_distribution —
+        # notably an rlt_tpu.export.ExportedPredictor serving an AOT bundle
+        self.predictor = predictor if predictor is not None \
+            else Predictor(cfg, params=params)
         self.max_batch = max_batch
         self._lock = threading.Lock()
         self._latencies = deque(maxlen=1024)  # seconds, per /truncate call
@@ -199,6 +203,9 @@ def main(argv=None):
     p.add_argument("--model-name", type=str, default="attncut")
     p.add_argument("--model-path", type=str, default=None,
                    help="checkpoint from training (--model-persist)")
+    p.add_argument("--exported", type=str, default=None,
+                   help="serve an AOT bundle (python -m rlt_tpu.export) "
+                   "instead of tracing the model live")
     p.add_argument("--retrieve-data", type=str, default="robust04",
                    help="shape preset: robust04 (L=300) | mq2007 (L=40)")
     p.add_argument("--compute-dtype", type=str, default="float32",
@@ -210,13 +217,27 @@ def main(argv=None):
                    help="pre-compile every bucket before accepting traffic")
     args = p.parse_args(argv)
 
-    cfg = TrainConfig(model_name=args.model_name, model_path=args.model_path,
-                      retrieve_data=args.retrieve_data,
-                      compute_dtype=args.compute_dtype)
-    service = TruncationService(cfg, max_batch=args.max_batch)
+    if args.exported:
+        from rlt_tpu.export import load_exported
+
+        predictor = load_exported(args.exported)
+        m = predictor.manifest
+        cfg = TrainConfig(model_name=m["model_name"],
+                          seq_len_override=m["seq_len"],
+                          input_size_override=m["input_size"],
+                          compute_dtype=m["compute_dtype"])
+        max_batch = min(args.max_batch, predictor.max_batch)
+        service = TruncationService(cfg, max_batch=max_batch,
+                                    predictor=predictor)
+    else:
+        cfg = TrainConfig(model_name=args.model_name,
+                          model_path=args.model_path,
+                          retrieve_data=args.retrieve_data,
+                          compute_dtype=args.compute_dtype)
+        service = TruncationService(cfg, max_batch=args.max_batch)
     if args.warmup:
         b = 1
-        while b <= args.max_batch:
+        while b <= service.max_batch:
             logger.info("warmup: compiling bucket %d", b)
             service.truncate({"features": np.zeros(
                 (b, 1, cfg.input_size), np.float32).tolist()})
