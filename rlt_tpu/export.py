@@ -45,37 +45,47 @@ MANIFEST = "manifest.json"
 FORMAT_VERSION = 1
 
 
-def _export_one(predict_fn, params, batch: int, seq_len: int, input_size: int):
+def _export_one(predict_fn, params, batch: int, seq_len: int, input_size: int,
+                platforms=None):
     """Export `predict_fn(params, x)` at one static batch size with the
-    params closed over (baked into the artifact as constants)."""
+    params closed over (baked into the artifact as constants).
+
+    `platforms` enables cross-platform lowering: pass ("tpu",) on a CPU
+    build host to emit an artifact that runs only on TPU serving hosts —
+    the deployment split jax.export exists for."""
     fn = jax.jit(lambda x: predict_fn(params, x))
     spec = jax.ShapeDtypeStruct((batch, seq_len, input_size), jnp.float32)
+    kw = {} if platforms is None else {"platforms": list(platforms)}
     try:
-        return jax_export.export(fn)(spec), False
+        return jax_export.export(fn, **kw)(spec), False
     except ValueError as e:
         if "custom call" not in str(e).lower():
             raise
         # Pallas kernels lower to tpu_custom_call, which has no stability
         # guarantee; waive the check knowingly and record it in the manifest
         waive = jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call")
-        return jax_export.export(fn, disabled_checks=[waive])(spec), True
+        return jax_export.export(fn, disabled_checks=[waive], **kw)(spec), True
 
 
-def save_exported(out_dir: str, predictor, batch_sizes=(1, 8, 64, 256)) -> dict:
+def save_exported(out_dir: str, predictor, batch_sizes=(1, 8, 64, 256),
+                  platforms=None) -> dict:
     """Export `predictor` (rlt_tpu.infer.Predictor) at each batch size and
-    write the bundle to `out_dir`. Returns the manifest dict."""
+    write the bundle to `out_dir`. Returns the manifest dict.
+
+    `platforms`: target platform list for cross-platform lowering (e.g.
+    ("tpu",) from a CPU build host); None exports for the current backend."""
     batch_sizes = sorted(set(int(b) for b in batch_sizes))
     if not batch_sizes or batch_sizes[0] < 1:
         raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
     os.makedirs(out_dir, exist_ok=True)
     cfg = predictor.cfg
     waived = False
-    platforms = None
+    exported_platforms = None
     for b in batch_sizes:
         exp, w = _export_one(predictor._predict, predictor.params, b,
-                             cfg.seq_len, cfg.input_size)
+                             cfg.seq_len, cfg.input_size, platforms)
         waived = waived or w
-        platforms = list(exp.platforms)
+        exported_platforms = list(exp.platforms)
         with open(os.path.join(out_dir, f"b{b}.stablehlo"), "wb") as f:
             f.write(exp.serialize())
     manifest = {
@@ -85,7 +95,7 @@ def save_exported(out_dir: str, predictor, batch_sizes=(1, 8, 64, 256)) -> dict:
         "input_size": cfg.input_size,
         "compute_dtype": cfg.compute_dtype,
         "batch_sizes": batch_sizes,
-        "platforms": platforms,
+        "platforms": exported_platforms,
         "custom_calls_waived": waived,
         "jax_version": jax.__version__,
     }
@@ -122,7 +132,8 @@ class ExportedPredictor:
     def max_batch(self) -> int:
         return max(self._buckets)
 
-    def _bucket_for(self, n: int) -> int:
+    def bucket_for(self, n: int) -> int:
+        """Smallest exported bucket >= n (the shape that will execute)."""
         for b in self._buckets:
             if b >= n:
                 return b
@@ -134,7 +145,7 @@ class ExportedPredictor:
         """(B, L, F) features -> ((B,) 1-based cuts, cut distributions)."""
         x = np.asarray(x, np.float32)
         n = x.shape[0]
-        b = self._bucket_for(n)
+        b = self.bucket_for(n)
         if b > n:
             x = np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)])
         ks, dist = self._calls[b](jnp.asarray(x))
@@ -145,13 +156,24 @@ class ExportedPredictor:
 
 
 def load_exported(bundle_dir: str) -> ExportedPredictor:
-    """Load a bundle written by `save_exported`."""
+    """Load a bundle written by `save_exported`.
+
+    Fails fast (rather than at first request) if the bundle was lowered for
+    a platform the current host cannot execute."""
     with open(os.path.join(bundle_dir, MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("format_version") != FORMAT_VERSION:
         raise ValueError(
             f"bundle {bundle_dir}: format_version "
             f"{manifest.get('format_version')} != {FORMAT_VERSION}")
+    have = {d.platform for d in jax.devices()} | {jax.default_backend()}
+    want = {p.lower() for p in manifest.get("platforms") or []}
+    if want and not (want & {h.lower() for h in have}):
+        raise ValueError(
+            f"bundle {bundle_dir} was exported for platforms "
+            f"{sorted(want)} but this host has {sorted(have)}; re-export "
+            f"with --platforms {','.join(sorted(have))} or serve on the "
+            f"target platform")
     buckets = {}
     for b in manifest["batch_sizes"]:
         with open(os.path.join(bundle_dir, f"b{b}.stablehlo"), "rb") as f:
@@ -173,6 +195,10 @@ def main(argv=None):
     p.add_argument("--compute-dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--batch-sizes", type=str, default="1,8,64,256")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="comma-separated target platforms for cross-platform "
+                   "lowering (e.g. 'tpu' to build a TPU serving artifact "
+                   "from a CPU host); default: the current backend")
     p.add_argument("--out", type=str, required=True, help="bundle directory")
     p.add_argument("--check", action="store_true",
                    help="reload the bundle and verify it matches the live "
@@ -184,7 +210,8 @@ def main(argv=None):
                       compute_dtype=args.compute_dtype)
     predictor = Predictor(cfg)
     sizes = [int(s) for s in args.batch_sizes.split(",") if s]
-    manifest = save_exported(args.out, predictor, sizes)
+    platforms = args.platforms.split(",") if args.platforms else None
+    manifest = save_exported(args.out, predictor, sizes, platforms=platforms)
     print(json.dumps(manifest))
     if args.check:
         loaded = load_exported(args.out)

@@ -17,6 +17,13 @@ TPU-backed service needs:
 * **stdlib-only HTTP** — `http.server.ThreadingHTTPServer`; one lock
   serializes device dispatch (a single chip executes serially anyway; the
   lock also keeps the latency stats coherent).
+* **dynamic micro-batching** (`--microbatch`) — concurrent requests are
+  coalesced into one padded device dispatch: a worker drains a queue, waits
+  up to `--max-wait-ms` for co-arrivals, concatenates up to `max_batch`
+  lists, runs ONE predict, and scatters rows back to their requests. Under
+  concurrent small-request load this converts N dispatch latencies into
+  one — the standard TPU serving-throughput pattern (per-dispatch overhead
+  dominates small batches; see RESULTS.md roofline).
 
 Endpoints:
   GET  /healthz            -> {"ok": true, "model": ..., "seq_len": ...}
@@ -52,12 +59,26 @@ def bucket_size(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+class _PendingRequest:
+    """One enqueued micro-batch participant; the worker fills the result
+    slots and sets the event."""
+
+    __slots__ = ("x", "n", "event", "ks", "dist", "bucket", "error")
+
+    def __init__(self, x: np.ndarray):
+        self.x = x
+        self.n = x.shape[0]
+        self.event = threading.Event()
+        self.ks = self.dist = self.bucket = self.error = None
+
+
 class TruncationService:
     """Predictor + bucketing + stats; the HTTP layer delegates here so tests
     can also drive it directly."""
 
     def __init__(self, cfg: TrainConfig, params=None, max_batch: int = 256,
-                 predictor=None):
+                 predictor=None, microbatch: bool = False,
+                 max_wait_ms: float = 2.0):
         self.cfg = cfg
         # `predictor` may be any object with predict_with_distribution —
         # notably an rlt_tpu.export.ExportedPredictor serving an AOT bundle
@@ -68,6 +89,24 @@ class TruncationService:
         self._latencies = deque(maxlen=1024)  # seconds, per /truncate call
         self.requests = 0
         self.lists_served = 0
+        self.dispatches = 0  # device programs run (< requests when coalescing)
+        self.microbatch = microbatch
+        self._max_wait_s = max_wait_ms / 1e3
+        if microbatch:
+            self._queue: deque[_PendingRequest] = deque()
+            self._qcond = threading.Condition()
+            self._stopping = False
+            self._worker = threading.Thread(
+                target=self._coalesce_loop, name="rlt-microbatch", daemon=True)
+            self._worker.start()
+
+    def close(self):
+        """Stop the micro-batch worker (idempotent; no-op without one)."""
+        if self.microbatch:
+            with self._qcond:
+                self._stopping = True
+                self._qcond.notify_all()
+            self._worker.join(timeout=5)
 
     # -- input shaping ------------------------------------------------------
 
@@ -106,20 +145,97 @@ class TruncationService:
 
     # -- serving ------------------------------------------------------------
 
+    def _bucket_for(self, n: int) -> int:
+        # AOT bundles carry a fixed bucket list; defer to it so the reported
+        # bucket is the one actually executed (no double-padding)
+        if hasattr(self.predictor, "bucket_for"):
+            return self.predictor.bucket_for(n)
+        return bucket_size(n, self.max_batch)
+
+    def _dispatch(self, x: np.ndarray):
+        """Pad `x` to its bucket and run ONE device program under the device
+        lock. Returns (cuts, distributions, bucket) for the first x.shape[0]
+        rows."""
+        n = x.shape[0]
+        b = self._bucket_for(n)
+        if b > n:  # pad to the bucket's static shape
+            x = np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)])
+        with self._lock:
+            ks, dist = self.predictor.predict_with_distribution(x)
+            self.dispatches += 1
+        return ks, dist, b
+
+    def _coalesce_loop(self):
+        """Micro-batch worker: drain co-arriving requests into one dispatch."""
+        while True:
+            with self._qcond:
+                while not self._queue and not self._stopping:
+                    self._qcond.wait()
+                if self._stopping:
+                    for r in self._queue:  # fail fast, don't hang clients
+                        r.error = RuntimeError("service shutting down")
+                        r.event.set()
+                    self._queue.clear()
+                    return
+                # batch window: wait for co-arrivals until the batch is full
+                # or the deadline passes (first-arrival latency bound)
+                deadline = time.perf_counter() + self._max_wait_s
+                while sum(r.n for r in self._queue) < self.max_batch:
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0 or self._stopping:
+                        break
+                    self._qcond.wait(timeout=remaining)
+                batch, rows = [], 0
+                while self._queue and rows + self._queue[0].n <= self.max_batch:
+                    r = self._queue.popleft()
+                    batch.append(r)
+                    rows += r.n
+            if not batch:
+                continue
+            try:
+                x = batch[0].x if len(batch) == 1 else np.concatenate(
+                    [r.x for r in batch])
+                ks, dist, b = self._dispatch(x)
+            except Exception as e:  # surface to every waiting client
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+                continue
+            off = 0
+            for r in batch:
+                r.ks, r.dist = ks[off:off + r.n], dist[off:off + r.n]
+                r.bucket, off = b, off + r.n
+                r.event.set()
+
+    def _submit(self, x: np.ndarray):
+        req = _PendingRequest(x)
+        with self._qcond:
+            if self._stopping:
+                raise RuntimeError("service shutting down")
+            self._queue.append(req)
+            self._qcond.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.ks, req.dist, req.bucket
+
     def truncate(self, body: dict) -> dict:
         x, lengths = self._to_features(body)
         n = x.shape[0]
-        b = bucket_size(n, self.max_batch)
-        if b > n:  # pad to the bucket's static shape
-            x = np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)])
+        if n > self.max_batch:
+            raise ValueError(f"batch of {n} exceeds max_batch={self.max_batch}")
         t0 = time.perf_counter()
+        if self.microbatch:
+            ks, dist, b = self._submit(x)
+        else:
+            ks, dist, b = self._dispatch(x)
+        dt = time.perf_counter() - t0
         with self._lock:
-            ks, dist = self.predictor.predict_with_distribution(x)
-            dt = time.perf_counter() - t0
             self._latencies.append(dt)
             self.requests += 1
             self.lists_served += n
-        ks = np.minimum(ks[:n].astype(np.int64), lengths)  # clamp to true len
+        ks = np.minimum(
+            np.asarray(ks)[:n].astype(np.int64), lengths)  # clamp to true len
         out = {"k": ks.tolist(), "bucket": b, "latency_ms": round(dt * 1e3, 3)}
         if body.get("return_distribution"):
             out["distribution"] = [
@@ -148,6 +264,7 @@ class TruncationService:
         return {
             "requests": self.requests,
             "lists_served": self.lists_served,
+            "dispatches": self.dispatches,
             "latency_ms": {"p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99)},
         }
 
@@ -213,6 +330,12 @@ def main(argv=None):
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8321)
     p.add_argument("--max-batch", type=int, default=256)
+    p.add_argument("--microbatch", action="store_true",
+                   help="coalesce concurrent requests into one device "
+                   "dispatch (dynamic micro-batching)")
+    p.add_argument("--max-wait-ms", type=float, default=2.0,
+                   help="micro-batch co-arrival window (first-request "
+                   "latency bound)")
     p.add_argument("--warmup", action="store_true",
                    help="pre-compile every bucket before accepting traffic")
     args = p.parse_args(argv)
@@ -228,13 +351,17 @@ def main(argv=None):
                           compute_dtype=m["compute_dtype"])
         max_batch = min(args.max_batch, predictor.max_batch)
         service = TruncationService(cfg, max_batch=max_batch,
-                                    predictor=predictor)
+                                    predictor=predictor,
+                                    microbatch=args.microbatch,
+                                    max_wait_ms=args.max_wait_ms)
     else:
         cfg = TrainConfig(model_name=args.model_name,
                           model_path=args.model_path,
                           retrieve_data=args.retrieve_data,
                           compute_dtype=args.compute_dtype)
-        service = TruncationService(cfg, max_batch=args.max_batch)
+        service = TruncationService(cfg, max_batch=args.max_batch,
+                                    microbatch=args.microbatch,
+                                    max_wait_ms=args.max_wait_ms)
     if args.warmup:
         b = 1
         while b <= service.max_batch:
@@ -250,6 +377,8 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    finally:
+        service.close()
 
 
 if __name__ == "__main__":

@@ -99,6 +99,34 @@ def test_service_serves_from_bundle(bundle):
                          rng.normal(size=(16, 3)).tolist(),
                          rng.normal(size=(7, 3)).tolist()]}
     assert svc.truncate(body)["k"] == live.truncate(body)["k"]
+    # the service defers bucket choice to the bundle's fixed bucket list:
+    # a single list rides the smallest exported bucket (2), not power-of-two 1
+    one = svc.truncate({"features": [rng.normal(size=(5, 3)).tolist()]})
+    assert one["bucket"] == 2
+
+
+def test_cross_platform_export_for_tpu(tmp_path):
+    """A CPU build host can lower a TPU-only artifact (the deployment split
+    jax.export exists for); loading it back on this CPU host must fail fast
+    with the platform-mismatch message, not at first request."""
+    predictor = Predictor(tiny_cfg())
+    out = str(tmp_path / "tpu_bundle")
+    manifest = save_exported(out, predictor, batch_sizes=(2,),
+                             platforms=("tpu",))
+    assert manifest["platforms"] == ["tpu"]
+    with pytest.raises(ValueError, match="exported for platforms"):
+        load_exported(out)
+
+
+def test_explicit_platform_roundtrip(bundle, tmp_path):
+    """platforms=('cpu',) on a CPU host behaves exactly like the default."""
+    _, predictor, _ = bundle
+    out = str(tmp_path / "cpu_bundle")
+    save_exported(out, predictor, batch_sizes=(2,), platforms=("cpu",))
+    loaded = load_exported(out)
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 16, 3)).astype(np.float32)
+    np.testing.assert_array_equal(loaded.predict(x), predictor.predict(x))
 
 
 def test_format_version_guard(bundle, tmp_path):

@@ -82,6 +82,50 @@ def test_input_validation(service):
         service.truncate({"features": np.zeros((9, 4, 3)).tolist()})
 
 
+def test_microbatch_coalesces_and_matches(service):
+    """Concurrent requests through a micro-batching service must return the
+    same cuts as sequential requests through a plain one, with fewer device
+    dispatches than requests (proof the coalescing actually happened)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    svc = TruncationService(tiny_cfg(), max_batch=8, microbatch=True,
+                            max_wait_ms=250.0)
+    try:
+        rng = np.random.default_rng(4)
+        bodies = [{"features": [rng.normal(size=(16, 3)).tolist()]}
+                  for _ in range(6)]
+        # warm the compile outside the timed window so the co-arrival window
+        # isn't consumed by the first trace (generous window: 1-core CI box)
+        svc.truncate({"features": [np.zeros((16, 3)).tolist()]})
+        base_dispatches = svc.dispatches
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            outs = list(pool.map(svc.truncate, bodies))
+        seq = [service.truncate(b) for b in bodies]
+        assert [o["k"] for o in outs] == [s["k"] for s in seq]
+        assert svc.dispatches - base_dispatches < 6  # coalesced
+        assert svc.lists_served == 7
+        stats = svc.stats()
+        assert stats["dispatches"] == svc.dispatches
+    finally:
+        svc.close()
+
+
+def test_microbatch_single_request_and_errors():
+    """A lone request still completes within the wait window, and oversize
+    batches are rejected before enqueueing."""
+    svc = TruncationService(tiny_cfg(), max_batch=4, microbatch=True,
+                            max_wait_ms=1.0)
+    try:
+        out = svc.truncate({"features": [np.zeros((5, 3)).tolist()]})
+        assert len(out["k"]) == 1
+        with pytest.raises(ValueError, match="exceeds max_batch"):
+            svc.truncate({"features": np.zeros((5, 4, 3)).tolist()})
+    finally:
+        svc.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        svc.truncate({"features": [np.zeros((5, 3)).tolist()]})
+
+
 def test_http_roundtrip(service):
     server = make_server(service, port=0)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
