@@ -63,6 +63,33 @@ def randn_init() -> Callable:
 
 
 # ---------------------------------------------------------------------------
+# Dropout that admits a traced rate (population training)
+# ---------------------------------------------------------------------------
+
+class Dropout(nn.Module):
+    """nn.Dropout whose rate may be overridden at call time by a TRACED
+    scalar. flax's nn.Dropout python-branches on ``rate == 0.0``, which fails
+    when each vmapped population member (rlt_tpu/population.py) carries its
+    own dropout rate as a tracer. The class is deliberately named ``Dropout``
+    so flax auto-names instances ``Dropout_N`` exactly like the nn.Dropout
+    they replace — the "dropout" rng fold path, hence every mask bit, is
+    unchanged, and the static-rate path reproduces nn.Dropout exactly
+    (same bernoulli + lax.select math)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        r = self.rate if rate is None else rate
+        if deterministic or (not isinstance(r, jax.Array) and r == 0.0):
+            return x
+        keep = 1.0 - r
+        mask = jax.random.bernoulli(self.make_rng("dropout"), p=keep,
+                                    shape=x.shape)
+        return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
 # Linear with torch layout (weight: (out, in))
 # ---------------------------------------------------------------------------
 
@@ -191,7 +218,7 @@ class SelfAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         d = self.d_model
         in_proj_w = self.param("in_proj_weight", xavier_uniform(), (3 * d, d))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
@@ -205,8 +232,8 @@ class SelfAttention(nn.Module):
             return t.reshape(batch, seq_len, self.n_head, head_dim).transpose(0, 2, 1, 3)
 
         rng = None
-        rate = self.dropout
-        if not deterministic and rate > 0.0:
+        rate = self.dropout if dropout_rate is None else dropout_rate
+        if not deterministic and (isinstance(rate, jax.Array) or rate > 0.0):
             rng = self.make_rng("dropout")
         attn = multi_head_attention(
             split_heads(q), split_heads(k), split_heads(v),
@@ -232,18 +259,18 @@ class TransformerEncoderLayer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         attn = SelfAttention(
             self.d_model, self.n_head, self.dropout, self.use_pallas, name="self_attn"
-        )(x, deterministic)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        )(x, deterministic, dropout_rate)
+        attn = Dropout(self.dropout)(attn, deterministic, dropout_rate)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
 
         h = TorchLinear(self.dim_feedforward, name="linear1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic, dropout_rate)
         h = TorchLinear(self.d_model, name="linear2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = Dropout(self.dropout)(h, deterministic, dropout_rate)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
@@ -256,12 +283,12 @@ class TransformerEncoder(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.n_head, self.dim_feedforward, self.dropout,
                 self.use_pallas, name=f"layers_{i}",
-            )(x, deterministic)
+            )(x, deterministic, dropout_rate)
         return x
 
 

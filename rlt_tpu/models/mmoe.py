@@ -44,11 +44,11 @@ class Expert(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         return TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="attention_layer",
-        )(x, deterministic)
+        )(x, deterministic, dropout_rate)
 
 
 def expert_stack(num_experts: int, **expert_kwargs):
@@ -58,7 +58,7 @@ def expert_stack(num_experts: int, **expert_kwargs):
         Expert,
         variable_axes={"params": 0},
         split_rngs={"params": True, "dropout": True},
-        in_axes=(None, None),
+        in_axes=(None, None, None),
         out_axes=0,
         axis_size=num_experts,
     )(**expert_kwargs, name="experts")
@@ -92,13 +92,13 @@ class MMOECut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
                           name="pre_encoding")(x)  # (B, L, 2H)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
-        )(experts_in, deterministic)  # (E, B, L, D)
+        )(experts_in, deterministic, dropout_rate)  # (E, B, L, D)
 
         batch = experts_in.shape[0]
         flat = experts_in.reshape(batch, -1)  # (B, 2*H*L)
@@ -129,13 +129,13 @@ class MOECut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
                           name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
-        )(experts_in, deterministic)
+        )(experts_in, deterministic, dropout_rate)
 
         batch = experts_in.shape[0]
         flat = experts_in.reshape(batch, -1)
@@ -166,13 +166,13 @@ class PLECut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
                           name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
-        )(experts_in, deterministic)  # (3, B, L, D)
+        )(experts_in, deterministic, dropout_rate)  # (3, B, L, D)
 
         batch = experts_in.shape[0]
         flat = experts_in.reshape(batch, -1)

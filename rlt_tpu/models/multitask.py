@@ -45,14 +45,14 @@ class MtChoopy(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         pe = self.param("position_encoding", randn_init(), (self.seq_len, self.d_model - 1))
         pe = jnp.broadcast_to(pe, (x.shape[0], self.seq_len, self.d_model - 1))
         x = jnp.concatenate([x, pe], axis=2)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="encoding_layer",
-        )(x, deterministic)
+        )(x, deterministic, dropout_rate)
         return select_heads(*_MtHeads(name="heads")(x), self.num_tasks)
 
 
@@ -66,10 +66,10 @@ class MtAttnCut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         x = LSTM(128, 2, use_pallas=self.use_pallas, name="pre_encoding")(x)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="encoding_layer",
-        )(x, deterministic)
+        )(x, deterministic, dropout_rate)
         return select_heads(*_MtHeads(name="heads")(x), self.num_tasks)

@@ -34,13 +34,13 @@ class ProbeBase(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         experts_in = LSTM(self.encoding_size, 2, use_pallas=self.use_pallas,
                           name="pre_encoding")(x)
         experts_o = expert_stack(
             self.num_experts, d_model=self.d_model, n_head=self.n_head,
             num_layers=self.num_layers, dropout=self.dropout, use_pallas=self.use_pallas,
-        )(experts_in, deterministic)  # (E, B, L, D)
+        )(experts_in, deterministic, dropout_rate)  # (E, B, L, D)
 
         batch = experts_in.shape[0]
         flat = experts_in.reshape(batch, -1)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from rlt_tpu.models.layers import (
     LSTM,
+    Dropout,
     TorchLinear,
     TransformerEncoder,
     randn_init,
@@ -34,14 +35,14 @@ class BiCut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         x = LSTM(self.lstm_hidden_size, self.lstm_layers,
                  use_pallas=self.use_pallas, name="bilstm")(x)
         x = TorchLinear(self.fc_dimensions, name="fc")(x)
         x = nn.relu(x)
         x = TorchLinear(2, name="decision")(x)
         # the reference applies Dropout to the logits, before the softmax
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = Dropout(self.dropout)(x, deterministic, dropout_rate)
         return jax.nn.softmax(x, axis=2)
 
 
@@ -54,14 +55,14 @@ class Choopy(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         pe = self.param("position_encoding", randn_init(), (self.seq_len, self.d_model - 1))
         pe = jnp.broadcast_to(pe, (x.shape[0], self.seq_len, self.d_model - 1))
         x = jnp.concatenate([x, pe], axis=2)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="attention_layer",
-        )(x, deterministic)
+        )(x, deterministic, dropout_rate)
         logits = TorchLinear(1, name="decision")(x)
         return jax.nn.softmax(logits, axis=1)
 
@@ -75,11 +76,11 @@ class AttnCut(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, dropout_rate=None):
         x = LSTM(128, 2, use_pallas=self.use_pallas, name="encoding_layer")(x)
         x = TransformerEncoder(
             self.d_model, self.n_head, self.num_layers, dropout=self.dropout,
             use_pallas=self.use_pallas, name="attention_layer",
-        )(x, deterministic)
+        )(x, deterministic, dropout_rate)
         logits = TorchLinear(1, name="decision")(x)
         return jax.nn.softmax(logits, axis=1)

@@ -292,7 +292,11 @@ def xla_attention(
     head_dim = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(head_dim)
     probs = jax.nn.softmax(scores, axis=-1)
-    if dropout_rate > 0.0 and dropout_rng is not None:
+    # dropout_rate may be a TRACED scalar (vmapped population training) —
+    # bernoulli with a traced p produces the same bits as the static rate
+    if dropout_rng is not None and (
+        isinstance(dropout_rate, jax.Array) or dropout_rate > 0.0
+    ):
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
@@ -319,8 +323,11 @@ def multi_head_attention(
 ) -> jax.Array:
     """Dispatch: the fused Pallas kernels on TPU (training included — dropout
     runs in-kernel from a seed folded out of the rng key) for sequences past
-    the measured crossover, XLA otherwise."""
-    if use_pallas and q.shape[2] >= PALLAS_MIN_SEQ_LEN:
+    the measured crossover, XLA otherwise. A TRACED dropout_rate (vmapped
+    population training) routes to XLA: the fused kernel bakes the dropout
+    threshold into the compiled program, so it needs a static rate."""
+    if (use_pallas and q.shape[2] >= PALLAS_MIN_SEQ_LEN
+            and not isinstance(dropout_rate, jax.Array)):
         rate = dropout_rate if dropout_rng is not None else 0.0
         seed = None
         if rate > 0.0:

@@ -57,6 +57,12 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # optional per-trial traced hyperparameters (population training,
+    # rlt_tpu/population.py): None for ordinary runs; a dict with an optional
+    # "criterion" sub-dict of loss kwargs (e.g. mtcut task weights) and an
+    # optional "dropout_rate" scalar, all carried as pytree leaves so one
+    # compiled program serves every trial
+    hp: Any = None
 
 
 # ---------------------------------------------------------------------------
@@ -134,10 +140,19 @@ def _batch_metrics(model_name, output, y, valid):
     return f1, dcg
 
 
-def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
+def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig,
+                   jit: bool = True):
     """Returns jitted `epoch_fn(state, data, key) -> (state, metrics)` where
     metrics = dict of epoch-mean train/test loss/F1/DCG (mean over batch means,
-    matching run.py:148-153/:190-195's accumulation)."""
+    matching run.py:148-153/:190-195's accumulation).
+
+    jit=False returns the raw python callables so rlt_tpu.population can wrap
+    them in `jax.vmap` (one compiled program for K trials) before jitting.
+
+    When `state.hp` is set (population trials), its "criterion" sub-dict is
+    splatted into every criterion call and its "dropout_rate" overrides the
+    models' static dropout attribute on the training forward — both as traced
+    values, so trials with different hyperparameters share one program."""
 
     model_name = cfg.model_name
     # mixed precision: cast params + inputs to the compute dtype inside the
@@ -158,13 +173,18 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
         return [to32(o) for o in output] if isinstance(output, (list, tuple)) \
             else to32(output)
 
-    def loss_fn(params, x, y, valid, dropout_rng):
+    def loss_fn(params, x, y, valid, dropout_rng, hp):
+        hp = hp or {}
         params_c, x_c = _cast_in(params, x)
+        apply_kw = {}
+        if hp.get("dropout_rate") is not None:
+            apply_kw["dropout_rate"] = hp["dropout_rate"]
         output = _cast_out(model.apply(
             {"params": params_c}, x_c, deterministic=False,
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": dropout_rng}, **apply_kw,
         ))
-        return criterion(output, y, valid=valid), output
+        crit_kw = hp.get("criterion") or {}
+        return criterion(output, y, valid=valid, **crit_kw), output
 
     def train_step(state: TrainState, batch):
         idx, valid = batch["idx"], batch["valid"]
@@ -172,21 +192,22 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
         y = batch["y"][idx]
         rng, dropout_rng = jax.random.split(state.rng)
         (loss, output), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, y, valid, dropout_rng
+            state.params, x, y, valid, dropout_rng, state.hp
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # decode/metrics on the PRE-update forward, as the reference does
         f1, dcg = _batch_metrics(model_name, output, y, valid)
-        return TrainState(params, opt_state, rng), (loss, f1, dcg)
+        return TrainState(params, opt_state, rng, state.hp), (loss, f1, dcg)
 
-    def eval_step(params, batch):
+    def eval_step(params, batch, hp):
         idx, valid = batch["idx"], batch["valid"]
         x = batch["x"][idx]
         y = batch["y"][idx]
         params_c, x_c = _cast_in(params, x)
         output = _cast_out(model.apply({"params": params_c}, x_c, deterministic=True))
-        loss = criterion(output, y, valid=valid)
+        crit_kw = (hp or {}).get("criterion") or {}
+        loss = criterion(output, y, valid=valid, **crit_kw)
         f1, dcg = _batch_metrics(model_name, output, y, valid)
         return loss, f1, dcg
 
@@ -204,7 +225,8 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
 
         def te_body(_, b):
             return None, eval_step(state.params, {"idx": b[0], "valid": b[1],
-                                                  "x": data.x_test, "y": data.y_test})
+                                                  "x": data.x_test, "y": data.y_test},
+                                   state.hp)
 
         _, (el, ef1, edcg) = jax.lax.scan(te_body, None, (te_idx, te_valid))
 
@@ -238,6 +260,8 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig):
         (state, best_f1, best_params), metrics = jax.lax.scan(body, init, keys)
         return state, best_params, metrics
 
+    if not jit:
+        return epoch_fn, multi_epoch_fn
     return (
         jax.jit(epoch_fn, donate_argnums=(0,)),
         jax.jit(multi_epoch_fn, donate_argnums=(0,)),
@@ -566,6 +590,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(measured 1.1-1.6x whole-epoch, convergence within "
                         "0.15%% — RESULTS.md). float32 default preserves "
                         "torch-parity semantics")
+    p.add_argument("--population", type=int, default=0,
+                   help="with --parameter-search 1: train K search trials at "
+                        "a time as one vmapped program instead of K "
+                        "sequential runs (rlt_tpu/population.py)")
     return p
 
 
@@ -598,39 +626,79 @@ def config_from_args(args) -> config_lib.TrainConfig:
     return cfg
 
 
-def parameter_search(cfg: config_lib.TrainConfig) -> None:
-    """Random/logspace hyper-parameter search (run.py:349-364)."""
+def draw_search_trials(cfg: config_lib.TrainConfig) -> list[dict]:
+    """The reference's trial distributions (run.py:349-364) as a list of
+    config-override dicts, drawn with the exact rng chain the sequential
+    search uses — so the sequential and population engines train the SAME
+    trials for a given (cfg.seed, search mode, search_times)."""
     rng = np.random.default_rng(cfg.seed)
     task_weight_range = np.logspace(-2, 1, num=250, base=10)
-    # the reference derives the record name in search mode (run.py:350);
-    # an explicitly set parameter_record wins here
-    if cfg.parameter_record is not None:
-        record = cfg.parameter_record
-    else:
-        record = (
-            f"{cfg.model_name}_{cfg.retrieve_data}_{cfg.dataset_name}_"
-            f"{cfg.criterion}_params.log"
-        )
+    trials = []
     for i in range(cfg.search_times):
-        trial = cfg
         if cfg.regularizer_search:
-            trial = dataclasses.replace(
-                trial, dropout=float(rng.uniform(0.05, 0.5)),
-                weight_decay=float(rng.uniform(0.001, 0.02)),
-            )
+            trials.append({
+                "dropout": float(rng.uniform(0.05, 0.5)),
+                "weight_decay": float(rng.uniform(0.001, 0.02)),
+            })
         elif cfg.mt_search:
             rw = float(rng.uniform(0.01, 10)) if i >= 50 else float(task_weight_range[i])
             cw = float(rng.uniform(0.01, 10)) if i >= 50 else float(task_weight_range[i])
-            trial = dataclasses.replace(trial, rerank_weight=rw, class_weight=cw)
-        logger.info("search trial %d: %s", i, trial)
-        result = Trainer(trial).run()
-        line = (
-            f"dropout: {trial.dropout}, L2_weight: {trial.weight_decay}, "
-            f"rerank_weight: {trial.rerank_weight}, class_weight: {trial.class_weight}, "
-            f"best_f1: {result['best_f1']}, best_dcg: {result['best_dcg']}"
-        )
+            trials.append({"rerank_weight": rw, "class_weight": cw})
+        else:
+            trials.append({})
+    return trials
+
+
+def _search_record_path(cfg: config_lib.TrainConfig) -> str:
+    # the reference derives the record name in search mode (run.py:350);
+    # an explicitly set parameter_record wins here
+    if cfg.parameter_record is not None:
+        return cfg.parameter_record
+    return (
+        f"{cfg.model_name}_{cfg.retrieve_data}_{cfg.dataset_name}_"
+        f"{cfg.criterion}_params.log"
+    )
+
+
+def _search_record_line(trial: config_lib.TrainConfig, result: dict) -> str:
+    return (
+        f"dropout: {trial.dropout}, L2_weight: {trial.weight_decay}, "
+        f"rerank_weight: {trial.rerank_weight}, class_weight: {trial.class_weight}, "
+        f"best_f1: {result['best_f1']}, best_dcg: {result['best_dcg']}"
+    )
+
+
+def parameter_search(cfg: config_lib.TrainConfig, population: int = 0) -> None:
+    """Random/logspace hyper-parameter search (run.py:349-364).
+
+    population=0 trains the trials sequentially like the reference;
+    population=K trains them K at a time as ONE vmapped program
+    (rlt_tpu/population.py) — same trials, same record lines, but the chip
+    sees K× fatter matmuls instead of K sequential mostly-idle runs."""
+    trials = draw_search_trials(cfg)
+    record = _search_record_path(cfg)
+
+    def write(trial, result):
         with open(record, "a+") as f:
-            f.write("\n" + line)
+            f.write("\n" + _search_record_line(trial, result))
+
+    if population > 1:
+        from rlt_tpu.population import Member, train_population
+
+        for lo in range(0, len(trials), population):
+            chunk = trials[lo:lo + population]
+            members = [Member(seed=cfg.seed, **ov) for ov in chunk]
+            logger.info("population search trials %d..%d: %s", lo,
+                        lo + len(chunk) - 1, members)
+            out = train_population(cfg, members)
+            for ov, row in zip(chunk, out["per_member"]):
+                write(dataclasses.replace(cfg, **ov), row)
+        return
+
+    for i, ov in enumerate(trials):
+        trial = dataclasses.replace(cfg, **ov)
+        logger.info("search trial %d: %s", i, trial)
+        write(trial, Trainer(trial).run())
 
 
 def main(argv=None) -> dict | None:
@@ -639,7 +707,7 @@ def main(argv=None) -> dict | None:
     cfg = config_from_args(args)
     logger.info("%s", cfg)
     if cfg.parameter_search:
-        parameter_search(cfg)
+        parameter_search(cfg, population=args.population)
         return None
     return Trainer(cfg).run(profile_dir=args.profile_dir, resume=bool(args.resume))
 

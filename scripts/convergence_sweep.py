@@ -79,6 +79,9 @@ def main():
     p.add_argument("--folds", type=int, default=0,
                    help="train across N 80/20 re-splits of ONE corpus (the "
                         "reference's split_1..5 protocol, data_prepare.ipynb)")
+    p.add_argument("--population", type=int, default=0,
+                   help="train all seeds of a model as ONE vmapped program "
+                        "(rlt_tpu/population.py) instead of sequentially")
     p.add_argument("--out", type=str, default="RESULTS.json")
     args = p.parse_args()
 
@@ -90,18 +93,34 @@ def main():
     results = {}
     for name in args.models.split(","):
         per_seed = []
-        for seed in seeds:
-            cfg = config_lib.TrainConfig(
+        if args.population:
+            from rlt_tpu.population import Member, train_population
+
+            cfg = config_lib.apply_preset(config_lib.TrainConfig(
                 model_name=name, retrieve_data=args.retrieve_data,
                 dataset_name=args.dataset_name, epochs=args.epochs,
-                seed=seed, log_dir="/tmp/rlt_tpu_sweep_runs",
-            )
-            cfg = config_lib.apply_preset(cfg)
+                log_dir="/tmp/rlt_tpu_sweep_runs",
+            ))
             start = time.time()
-            summary = Trainer(cfg).run()
-            summary["wall_s"] = round(time.time() - start, 1)
-            summary["seed"] = seed
-            per_seed.append(summary)
+            out = train_population(cfg, [Member(seed=s) for s in seeds])
+            wall = round(time.time() - start, 1)
+            for seed, row in zip(seeds, out["per_member"]):
+                per_seed.append({
+                    k: row[k]
+                    for k in ("best_f1", "best_dcg", "best5_f1", "best5_dcg")
+                } | {"seed": seed, "population_wall_s": wall})
+        else:
+            for seed in seeds:
+                cfg = config_lib.apply_preset(config_lib.TrainConfig(
+                    model_name=name, retrieve_data=args.retrieve_data,
+                    dataset_name=args.dataset_name, epochs=args.epochs,
+                    seed=seed, log_dir="/tmp/rlt_tpu_sweep_runs",
+                ))
+                start = time.time()
+                summary = Trainer(cfg).run()
+                summary["wall_s"] = round(time.time() - start, 1)
+                summary["seed"] = seed
+                per_seed.append(summary)
         if len(per_seed) == 1:
             results[name] = per_seed[0]
         else:
