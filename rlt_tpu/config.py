@@ -181,7 +181,9 @@ def load_conf_file(cfg: TrainConfig, path: str) -> TrainConfig:
         updates["batch_size"] = parser.getint(section, "batch_size")
     updates["dropout"] = parser.getfloat(section, "dropout")
     updates["weight_decay"] = parser.getfloat(section, "weight_decay")
-    if "m" in cfg.model_name:
+    from rlt_tpu.models import is_multi_head
+
+    if is_multi_head(cfg.model_name):
         updates["rerank_weight"] = parser.getfloat(section, "rerank_weight")
         updates["class_weight"] = parser.getfloat(section, "class_weight")
     return dataclasses.replace(cfg, **updates)

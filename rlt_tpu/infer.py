@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rlt_tpu.config import TrainConfig
-from rlt_tpu.models import build_model
+from rlt_tpu.models import build_model, is_multi_head
 from rlt_tpu.train import decode_ks
 from rlt_tpu.utils.checkpoint import load_params
 from rlt_tpu.utils.platform import pallas_supported
@@ -75,7 +75,7 @@ class Predictor:
                 output = ([to32(o) for o in output]
                           if isinstance(output, (list, tuple)) else to32(output))
             ks = decode_ks(model_name, output)
-            cut = output[-1] if "m" in model_name else output
+            cut = output[-1] if is_multi_head(model_name) else output
             if model_name == "bicut":
                 cut_dist = output  # (B, L, 2) decision probabilities
             else:

@@ -28,6 +28,20 @@ MODELS = {
     "probe_base": ProbeBase,
 }
 
+# Models whose apply() returns a list of task heads, decoded from the LAST
+# head (the cut tower). The reference keys this on `"m" in model_name`
+# (run.py:137) — correct for its eight names but a silent-misroute trap for
+# any added model, so here it is an explicit registry attribute.
+MULTI_HEAD = frozenset(
+    {"mtchoopy", "mtattncut", "mmoecut", "moecut", "mtple"})
+
+
+def is_multi_head(name: str) -> bool:
+    """True when `name`'s forward output is a list of heads (run.py:137)."""
+    if name not in MODELS:
+        raise ValueError(f"unknown model: {name!r}")
+    return name in MULTI_HEAD
+
 
 def build_model(name: str, *, seq_len: int, input_size: int, dropout: float,
                 num_tasks: float = 3, use_pallas: bool = False):

@@ -28,7 +28,7 @@ from rlt_tpu import config as config_lib
 from rlt_tpu.data import DeviceDataset, RankedListData, epoch_permutation, load_pkl_dataset, synthetic_dataset
 from rlt_tpu.data.datasets import synthetic_config
 from rlt_tpu.utils.platform import pallas_supported
-from rlt_tpu.models import build_model
+from rlt_tpu.models import build_model, is_multi_head
 from rlt_tpu.utils import losses as losses_lib
 from rlt_tpu.utils import metrics as metrics_lib
 from rlt_tpu.utils.logging import MetricsWriter
@@ -124,7 +124,7 @@ def decode_ks(model_name: str, output) -> jax.Array:
     multi-task models decode the LAST head; single-task the lone head."""
     if model_name == "bicut":
         return metrics_lib.decode_cut_bicut(output)
-    if "m" in model_name:
+    if is_multi_head(model_name):
         return metrics_lib.decode_cut(output[-1])
     return metrics_lib.decode_cut(output)
 
@@ -526,7 +526,7 @@ class Trainer:
             # argmax decision sequence, not p(truncate)
             cut = jnp.argmax(output, axis=2).astype(jnp.float32)
         else:
-            cut = output[-1] if "m" in self.model_name else output
+            cut = output[-1] if is_multi_head(self.model_name) else output
         plot_reward_vs_prediction(
             np.asarray(y), np.asarray(cut[..., 0] if cut.ndim == 3 else cut),
             metric=self.cfg.criterion, epoch=epoch,

@@ -118,3 +118,16 @@ def test_mmoe_gate_param_shapes(rng):
     variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
     w = variables["params"]["w_gates"]
     assert w.shape == (3, 128 * L * 2, 3)
+
+
+def test_multi_head_registry_pins_reference_dispatch():
+    """The reference routes multi-task decode on `"m" in model_name`
+    (run.py:137). Our registry makes that an explicit attribute; this test
+    pins every registered model name to the reference rule so the two can
+    never drift, and pins the unknown-name failure mode."""
+    from rlt_tpu.models import is_multi_head
+
+    for name in MODELS:
+        assert is_multi_head(name) == ("m" in name), name
+    with pytest.raises(ValueError):
+        is_multi_head("newmodel_not_registered")

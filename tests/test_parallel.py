@@ -67,6 +67,34 @@ def test_dryrun_multichip_full_train_step():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_takes_subprocess_branch_when_default_backend_is_tpu(
+        monkeypatch):
+    """r02's driver artifact failed because "cpu in JAX_PLATFORMS" was taken
+    to mean "eager ops run on CPU" — with JAX_PLATFORMS="axon,cpu" the axon
+    TPU stays the default backend and the first eager op dies on the tunnel.
+    The in-process path must require jax.default_backend() == "cpu"; any
+    other default backend must select the forced-CPU subprocess re-exec."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon,cpu")
+    monkeypatch.setattr(ge.jax, "default_backend", lambda: "tpu")
+    assert ge._cpu_devices_if_safe() == []
+
+    calls = []
+    monkeypatch.setattr(ge, "_reexec_dryrun", lambda n: calls.append(n))
+    ge.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_dryrun_in_process_branch_requires_cpu_platform(monkeypatch):
+    """JAX_PLATFORMS not naming cpu at all must also re-exec — querying
+    devices would otherwise initialize the axon backend (tunnel handshake)."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert ge._cpu_devices_if_safe() == []
+
+
 def test_mesh_refuses_silent_downscale():
     """Requesting more devices than the backend has must raise, never
     silently build a smaller mesh (a 1-chip host would otherwise 'pass'
