@@ -23,6 +23,7 @@ dicts directly.
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable
 
 import jax
@@ -30,7 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from rlt_tpu.ops.attention import multi_head_attention
-from rlt_tpu.ops.lstm import fused_lstm
+from rlt_tpu.ops.lstm import fused_lstm, fused_lstm_bidir
 
 
 # ---------------------------------------------------------------------------
@@ -133,6 +134,15 @@ def _default_unroll() -> int:
     return value
 
 
+def _gate_inputs(x, w_ih, b_ih, b_hh, reverse: bool):
+    """Hoisted input projection: (B, L, F) -> time-major (L, B, 4H) gate
+    inputs, time-flipped for the reverse direction so the recurrence always
+    runs in kernel time order."""
+    xw = jnp.einsum("blf,gf->blg", x, w_ih) + b_ih + b_hh  # (B, L, 4H)
+    xw = jnp.swapaxes(xw, 0, 1)  # time-major (L, B, 4H)
+    return jnp.flip(xw, axis=0) if reverse else xw
+
+
 def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool,
                unroll: int | None = None, use_pallas: bool = False):
     """Single-direction LSTM over (B, L, F) -> (B, L, H).
@@ -145,10 +155,7 @@ def _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse: bool,
     """
     batch = x.shape[0]
     hidden = w_hh.shape[1]
-    xw = jnp.einsum("blf,gf->blg", x, w_ih) + b_ih + b_hh  # (B, L, 4H)
-    xw = jnp.swapaxes(xw, 0, 1)  # time-major (L, B, 4H)
-    if reverse:
-        xw = jnp.flip(xw, axis=0)
+    xw = _gate_inputs(x, w_ih, b_ih, b_hh, reverse)
 
     # the fused kernel needs lane-aligned H; every model here uses H = 128
     if use_pallas and hidden % 128 == 0:
@@ -193,17 +200,46 @@ class LSTM(nn.Module):
         init = uniform_bound(1.0 / math.sqrt(self.hidden_size))
         for layer in range(self.num_layers):
             in_features = x.shape[-1]
-            outs = []
             directions = (False, True) if self.bidirectional else (False,)
+            params = []
             for reverse in directions:
                 suffix = f"l{layer}" + ("_reverse" if reverse else "")
                 w_ih = self.param(f"weight_ih_{suffix}", init, (4 * self.hidden_size, in_features))
                 w_hh = self.param(f"weight_hh_{suffix}", init, (4 * self.hidden_size, self.hidden_size))
                 b_ih = self.param(f"bias_ih_{suffix}", init, (4 * self.hidden_size,))
                 b_hh = self.param(f"bias_hh_{suffix}", init, (4 * self.hidden_size,))
-                outs.append(_lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse,
-                                       use_pallas=self.use_pallas))
-            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+                params.append((w_ih, w_hh, b_ih, b_hh))
+
+            # MEASURED NEGATIVE RESULT (RESULTS.md "Fused bidirectional
+            # LSTM"): sharing one kernel's serial chain across both
+            # directions is ~2x SLOWER than two sequential launches at
+            # robust04 shapes — per-step cost is work-proportional, not
+            # latency-bound, in both layouts tried (leading direction axis
+            # and direction-folded-into-sublane). Whole-model epochs regress
+            # (bicut 8.7->17.0 ms). Default OFF; RLT_LSTM_FUSE_BIDIR=1
+            # re-enables for measurement.
+            fuse_bidir = (self.use_pallas and self.bidirectional
+                          and self.hidden_size % 128 == 0
+                          and os.environ.get("RLT_LSTM_FUSE_BIDIR", "0") == "1")
+            if fuse_bidir:
+                # one kernel launch per layer: both directions share the
+                # L-step serial chain (ops/lstm.fused_lstm_bidir)
+                (wf_ih, wf_hh, bf_ih, bf_hh), (wr_ih, wr_hh, br_ih, br_hh) = params
+                xw_f = _gate_inputs(x, wf_ih, bf_ih, bf_hh, reverse=False)
+                xw_r = _gate_inputs(x, wr_ih, br_ih, br_hh, reverse=True)
+                hs_f, hs_r = fused_lstm_bidir(xw_f, xw_r, wf_hh.T, wr_hh.T)
+                hs_r = jnp.flip(hs_r, axis=0)  # back to sequence time order
+                x = jnp.concatenate(
+                    [jnp.swapaxes(hs_f, 0, 1), jnp.swapaxes(hs_r, 0, 1)],
+                    axis=-1)
+            else:
+                outs = [
+                    _lstm_scan(x, w_ih, w_hh, b_ih, b_hh, reverse,
+                               use_pallas=self.use_pallas)
+                    for reverse, (w_ih, w_hh, b_ih, b_hh)
+                    in zip(directions, params)
+                ]
+                x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
         return x
 
 

@@ -23,7 +23,7 @@ from rlt_tpu import enable_compilation_cache
 
 enable_compilation_cache()
 
-from rlt_tpu.ops.lstm import fused_lstm  # noqa: E402
+from rlt_tpu.ops.lstm import fused_lstm, fused_lstm_bidir  # noqa: E402
 
 ITERS = 200
 SHAPES = {"robust04": (300, 64, 128), "mq2007": (40, 64, 128)}
@@ -89,11 +89,33 @@ def isolated(records):
             grad = jax.grad(lambda c: jnp.sum(fn(c, w_hh_t) * probe))
             return lambda c: 0.5 * c + 0.5 * grad(c)
 
+        # BiLSTM layer comparison: the reverse direction's second weight
+        # matrix, and both-directions variants that consume the same xw
+        # (fine for timing: identical shapes/dependencies as the real layer)
+        w_hh_t2 = 0.1 * jax.random.normal(jax.random.PRNGKey(3),
+                                          (hidden, 4 * hidden), jnp.float32)
+
+        def two_seq(c, w):
+            return fused_lstm(c, w) + fused_lstm(jnp.flip(c, 0), w_hh_t2)
+
+        def one_bidir(c, w):
+            hf, hr = fused_lstm_bidir(c, jnp.flip(c, 0), w, w_hh_t2)
+            return hf + hr
+
+        def two_scans(c, w):
+            return scan_lstm(c, w) + scan_lstm(jnp.flip(c, 0), w_hh_t2)
+
         cases = {
             ("fwd", "pallas"): fwd_case(fused_lstm),
             ("fwd", "xla_scan"): fwd_case(scan_lstm),
             ("fwdbwd", "pallas"): bwd_case(fused_lstm),
             ("fwdbwd", "xla_scan"): bwd_case(scan_lstm),
+            ("bidir_fwd", "pallas_2seq"): fwd_case(two_seq),
+            ("bidir_fwd", "pallas_bidir"): fwd_case(one_bidir),
+            ("bidir_fwd", "xla_scan"): fwd_case(two_scans),
+            ("bidir_fwdbwd", "pallas_2seq"): bwd_case(two_seq),
+            ("bidir_fwdbwd", "pallas_bidir"): bwd_case(one_bidir),
+            ("bidir_fwdbwd", "xla_scan"): bwd_case(two_scans),
         }
         by_mode = {}
         for (mode, path), fn in cases.items():
@@ -102,10 +124,16 @@ def isolated(records):
             records.append({"level": "op", "shape_name": name,
                             "shape": [length, batch, hidden], "mode": mode,
                             "path": path, "ms": round(ms, 4)})
-            print(f"{name:10s} {mode:8s} {path:9s} {ms:8.3f} ms", flush=True)
+            print(f"{name:10s} {mode:13s} {path:12s} {ms:8.3f} ms", flush=True)
         for mode, d in by_mode.items():
-            print(f"{name:10s} {mode:8s} speedup scan/pallas = "
-                  f"{d['xla_scan'] / d['pallas']:.2f}x", flush=True)
+            if "pallas" in d:
+                print(f"{name:10s} {mode:13s} speedup scan/pallas = "
+                      f"{d['xla_scan'] / d['pallas']:.2f}x", flush=True)
+            if "pallas_bidir" in d:
+                print(f"{name:10s} {mode:13s} bidir-fused vs 2-seq = "
+                      f"{d['pallas_2seq'] / d['pallas_bidir']:.2f}x, "
+                      f"vs scan = {d['xla_scan'] / d['pallas_bidir']:.2f}x",
+                      flush=True)
 
 
 def model_level(records):
