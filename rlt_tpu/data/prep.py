@@ -8,6 +8,13 @@ features (document_statics.ipynb), and write 5-fold 80/20 train/test splits
 in-memory structures, with `write_reference_layout` emitting the exact pkl
 layout the reference loaders (and ours) read.
 
+Ingestion covers all three raw formats: standard TREC run/qrels files (the
+interoperable equivalent), the reference's raw bm25 run pickles
+(`rob04_bm25_top1000.*.pkl`, cells 34-45), and matchzoo result dataframes
+(`drmm_tks.pkl` sorted by relation_score, cells 56-65) — so a holder of the
+reference's upstream artifacts can build its datasets end-to-end, including
+its exact split_{1..5} fold memberships (`reference_split_dataset`).
+
 Semantics preserved (SURVEY §2.5): queries with fewer than `seq_len` retrieved
 docs are DROPPED (not padded); queries with zero relevant docs in the top-L
 are dropped; splits are random 80/20 with one seed per fold.
@@ -76,6 +83,104 @@ def filter_queries_with_relevance(ranked: dict, gt: dict[str, set]) -> dict:
         if any(d in rel for d in docs):
             out[qid] = docs
     return out
+
+
+# ---------------------------------------------------------------------------
+# The reference's actual raw upstream formats
+# ---------------------------------------------------------------------------
+
+def load_bm25_run_pickles(paths) -> list[dict]:
+    """Concatenate the `queries` lists of the reference's raw run pickles
+    (`rob04_bm25_top1000.{train,dev,test}.s1.pkl`, data_prepare.ipynb cells
+    34-37). Each entry: {'query_id', 'query_text', 'relevant_documents',
+    'num_rel', 'retrieved_documents', 'num_ret', 'num_rel_ret'}; each
+    retrieved document: {'doc_id', 'rank', 'bm25_score', 'norm_bm25_score',
+    'is_relevant'}."""
+    queries: list[dict] = []
+    for path in paths:
+        with open(path, "rb") as f:
+            queries.extend(pickle.load(f)["queries"])
+    return queries
+
+
+def bm25_queries_to_ranked(queries: list[dict], seq_len: int = 300,
+                           score_key: str = "norm_bm25_score"):
+    """Raw run queries -> (ranked, gt) for `write_reference_layout`, with the
+    notebook's exact semantics (data_prepare.ipynb cells 43-44): keep queries
+    with >= seq_len retrieved docs, truncate to the top seq_len IN RETRIEVED
+    ORDER (no re-sort), then drop queries whose kept list has no
+    `is_relevant` doc. gt maps qid -> relevant_documents set (cells 49-50)."""
+    ranked: dict[str, dict[str, float]] = {}
+    gt: dict[str, set] = {}
+    for item in queries:
+        docs = item["retrieved_documents"]
+        if len(docs) < seq_len:
+            continue
+        docs = docs[:seq_len]
+        if not any(d["is_relevant"] for d in docs):
+            continue
+        qid = item["query_id"]
+        ranked[qid] = {d["doc_id"]: float(d[score_key]) for d in docs}
+        gt[qid] = set(item["relevant_documents"])
+    return ranked, gt
+
+
+def matchzoo_results_to_ranked(df, seq_len: int = 300):
+    """The matchzoo result dataframe (`drmm_tks.pkl`: columns id_left,
+    id_right, relation_score) -> qid -> {doc_id: score} ranked lists
+    (data_prepare.ipynb cells 56-63): per query, docs sorted by descending
+    relation_score, queries with < seq_len rows dropped, the rest truncated.
+    Relevance is NOT in the frame — pair with gt from qrels or
+    `gt_from_pickle` before `filter_queries_with_relevance`."""
+    import pandas as pd
+
+    ranked: dict[str, dict[str, float]] = {}
+    for qid in pd.unique(df["id_left"]):
+        sub = df[df["id_left"] == qid].sort_values(
+            by=["relation_score"], ascending=False)
+        if len(sub) < seq_len:
+            continue
+        head = sub.head(seq_len)
+        ranked[qid] = {
+            doc: float(score)
+            for doc, score in zip(head["id_right"], head["relation_score"])
+        }
+    return ranked
+
+
+def gt_from_pickle(path: str) -> dict[str, set]:
+    """Read the reference's `robust04_gt.pkl` (qid -> list of relevant doc
+    ids, data_prepare.ipynb cells 49-50) as qid -> set."""
+    with open(path, "rb") as f:
+        raw = pickle.load(f)
+    return {qid: set(docs) for qid, docs in raw.items()}
+
+
+def reference_split_dataset(all_data: dict, train_ratio: float = 0.8,
+                            seed: int = 1):
+    """The notebook's own 80/20 split, bit-for-bit (data_prepare.ipynb cell
+    64): seed the stdlib RNG, draw `randint` indices into a SHRINKING key
+    list for the train side, remainder is test. Reproduces the reference's
+    split_{1..5} memberships exactly given the same input dict order."""
+    import random
+
+    rnd = random.Random(seed)
+    train_size = int(len(all_data) * train_ratio)
+    train, test, keys = {}, {}, list(all_data)
+    for _ in range(train_size):
+        idx = rnd.randint(0, len(keys) - 1)
+        train[keys[idx]] = all_data[keys[idx]]
+        keys.pop(idx)
+    for key in keys:
+        test[key] = all_data[key]
+    return train, test
+
+
+def reference_five_folds(all_data: dict, train_ratio: float = 0.8):
+    """split_1..split_5 with seed = fold index, the notebook's convention
+    (data_prepare.ipynb cells 45, 65)."""
+    return {f"split_{i}": reference_split_dataset(all_data, train_ratio, i)
+            for i in range(1, 6)}
 
 
 def split_dataset(qids: list[str], train_fraction: float = 0.8, seed: int = 0):
@@ -158,7 +263,14 @@ def write_bicut_layout(
 
 
 def main(argv=None):
-    """CLI: TREC run + qrels -> reference-layout pkl dataset.
+    """CLI: raw retrieval results -> reference-layout pkl dataset.
+
+    Three input formats, exactly one required:
+      TREC:      --run run.txt --qrels qrels.txt
+      raw bm25:  --bm25-pickles rob04_bm25_top1000.train.s1.pkl [...]
+                 (the reference's run pickles, data_prepare.ipynb cells 34-45)
+      matchzoo:  --matchzoo-pkl drmm_tks.pkl --gt-pkl robust04_gt.pkl
+                 (result dataframe + gt pickle, cells 56-65)
 
     python -m rlt_tpu.data.prep --run run.txt --qrels qrels.txt \
         --out dataset/ --dataset-name bm25 [--seq-len 300]
@@ -166,8 +278,15 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description="rlt_tpu dataset preparation")
-    p.add_argument("--run", type=str, required=True, help="TREC run file")
-    p.add_argument("--qrels", type=str, required=True, help="TREC qrels file")
+    p.add_argument("--run", type=str, help="TREC run file")
+    p.add_argument("--qrels", type=str, help="TREC qrels file")
+    p.add_argument("--bm25-pickles", type=str, nargs="+",
+                   help="reference raw bm25 run pickles (relevance inline)")
+    p.add_argument("--matchzoo-pkl", type=str,
+                   help="matchzoo result dataframe pickle")
+    p.add_argument("--gt-pkl", type=str,
+                   help="gt pickle (qid -> relevant doc ids); required "
+                        "with --matchzoo-pkl")
     p.add_argument("--out", type=str, required=True, help="output dataset root")
     p.add_argument("--retrieve-data", type=str, default="robust04")
     p.add_argument("--dataset-name", type=str, default="bm25")
@@ -175,9 +294,28 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    run = run_from_trec_file(args.run)
-    gt = qrels_from_trec_file(args.qrels)
-    ranked, gt, _ = prepare_dataset(run, gt, seq_len=args.seq_len)
+    sources = [bool(args.run), bool(args.bm25_pickles), bool(args.matchzoo_pkl)]
+    if sum(sources) != 1:
+        p.error("give exactly one of --run/--qrels, --bm25-pickles, "
+                "--matchzoo-pkl")
+    if args.bm25_pickles:
+        queries = load_bm25_run_pickles(args.bm25_pickles)
+        ranked, gt = bm25_queries_to_ranked(queries, seq_len=args.seq_len)
+    elif args.matchzoo_pkl:
+        if not args.gt_pkl:
+            p.error("--matchzoo-pkl requires --gt-pkl")
+        with open(args.matchzoo_pkl, "rb") as f:
+            df = pickle.load(f)
+        gt = gt_from_pickle(args.gt_pkl)
+        ranked = matchzoo_results_to_ranked(df, seq_len=args.seq_len)
+        ranked = filter_queries_with_relevance(ranked, gt)
+        gt = {q: gt.get(q, set()) for q in ranked}
+    else:
+        if not args.qrels:
+            p.error("--run requires --qrels")
+        run = run_from_trec_file(args.run)
+        gt = qrels_from_trec_file(args.qrels)
+        ranked, gt, _ = prepare_dataset(run, gt, seq_len=args.seq_len)
     write_reference_layout(args.out, args.retrieve_data, args.dataset_name,
                            ranked, gt, seed=args.seed)
     print(f"wrote {len(ranked)} queries to {args.out}/{args.retrieve_data}")

@@ -251,3 +251,147 @@ def test_bicut_layout_dotted_qids_and_empty_stage(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no per-query pkl"):
         load_bicut_lazy(str(tmp_path), "robust04", "bm25")
+
+
+# ---------------------------------------------------------------------------
+# The reference's actual raw formats (data_prepare.ipynb cells 34-45, 56-65)
+# ---------------------------------------------------------------------------
+
+def _raw_bm25_query(qid, n_docs, relevant_ranks, score0=10.0):
+    docs = [{"doc_id": f"{qid}_d{r}", "rank": r + 1,
+             "bm25_score": score0 - 0.01 * r,
+             "norm_bm25_score": 5.0 - 0.01 * r,
+             "is_relevant": r in relevant_ranks}
+            for r in range(n_docs)]
+    return {"query_id": qid, "query_text": f"query {qid}",
+            "relevant_documents": [d["doc_id"] for d in docs if d["is_relevant"]],
+            "num_rel": len(relevant_ranks), "retrieved_documents": docs,
+            "num_ret": n_docs, "num_rel_ret": len(relevant_ranks)}
+
+
+def test_bm25_raw_pickles_to_dataset(tmp_path):
+    """End-to-end over the reference's raw run-pickle shape: split pickles
+    concatenated, short lists dropped, truncation to seq_len, no-relevant
+    queries dropped, and the result loads through load_pkl_dataset."""
+    import pickle
+
+    from rlt_tpu.data.prep import (
+        bm25_queries_to_ranked,
+        load_bm25_run_pickles,
+    )
+
+    qs = {
+        "train": [_raw_bm25_query("301", 12, {0, 3}),
+                  _raw_bm25_query("302", 5, {1})],      # too short: dropped
+        "dev": [_raw_bm25_query("303", 10, set()),       # no relevant: dropped
+                _raw_bm25_query("304", 15, {2})],
+        "test": [_raw_bm25_query("305", 10, {9})],
+    }
+    paths = []
+    for stage, queries in qs.items():
+        path = tmp_path / f"rob04_bm25_top1000.{stage}.s1.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"queries": queries}, f)
+        paths.append(str(path))
+
+    queries = load_bm25_run_pickles(paths)
+    assert [q["query_id"] for q in queries] == ["301", "302", "303", "304", "305"]
+    ranked, gt = bm25_queries_to_ranked(queries, seq_len=10)
+    assert sorted(ranked) == ["301", "304", "305"]
+    assert all(len(docs) == 10 for docs in ranked.values())
+    # retrieved order is preserved, not re-sorted
+    assert list(ranked["301"]) == [f"301_d{r}" for r in range(10)]
+    assert gt["301"] == {"301_d0", "301_d3"}
+
+    out = tmp_path / "ds"
+    write_reference_layout(str(out), "robust04", "bm25", ranked, gt)
+    data = load_pkl_dataset(str(out), "robust04", "bm25", family="choopy")
+    assert data.x_train.shape[1] == 10
+    assert data.x_train.shape[0] + data.x_test.shape[0] == 3
+
+
+def test_matchzoo_results_to_ranked():
+    """The matchzoo result-dataframe shape: rows shuffled across queries,
+    ranked per query by descending relation_score, short queries dropped."""
+    import pandas as pd
+
+    from rlt_tpu.data.prep import matchzoo_results_to_ranked
+
+    rows = []
+    for qid, n in (("301", 6), ("302", 3)):
+        for j in range(n):
+            rows.append({"id_left": qid, "id_right": f"{qid}_d{j}",
+                         "relation_score": float(j)})  # ascending on purpose
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=0)  # shuffle rows
+    ranked = matchzoo_results_to_ranked(df, seq_len=5)
+    assert list(ranked) == ["301"]  # 302 has < 5 rows
+    # descending relation_score order
+    assert list(ranked["301"]) == [f"301_d{j}" for j in (5, 4, 3, 2, 1)]
+    assert list(ranked["301"].values()) == [5.0, 4.0, 3.0, 2.0, 1.0]
+
+
+def test_reference_split_dataset_bit_for_bit():
+    """reference_split_dataset must reproduce the notebook's stdlib-RNG
+    shrinking-list sampling exactly (data_prepare.ipynb cell 64)."""
+    import random
+
+    from rlt_tpu.data.prep import reference_five_folds, reference_split_dataset
+
+    all_data = {f"q{i}": i for i in range(25)}
+
+    def notebook_split(all_data, train_ratio=0.8, seed=1):
+        random.seed(seed)
+        train_size = int(len(all_data) * train_ratio)
+        train, test, key_list = {}, {}, list(all_data.keys())
+        for _ in range(train_size):
+            idx = random.randint(0, len(key_list) - 1)
+            train[key_list[idx]] = all_data[key_list[idx]]
+            key_list.pop(idx)
+        for key in key_list:
+            test[key] = all_data[key]
+        return train, test
+
+    for seed in (1, 2, 5):
+        got = reference_split_dataset(all_data, seed=seed)
+        want = notebook_split(all_data, seed=seed)
+        assert got == want
+    folds = reference_five_folds(all_data)
+    assert sorted(folds) == [f"split_{i}" for i in range(1, 6)]
+    for train, test in folds.values():
+        assert len(train) == 20 and len(test) == 5
+        assert not set(train) & set(test)
+
+
+def test_prep_cli_bm25_pickles_and_matchzoo(tmp_path):
+    """CLI paths for both raw formats end in a loadable dataset."""
+    import pickle
+
+    import pandas as pd
+
+    from rlt_tpu.data.prep import main as prep_main
+
+    # raw bm25 pickles
+    with open(tmp_path / "raw.pkl", "wb") as f:
+        pickle.dump({"queries": [_raw_bm25_query("301", 12, {0}),
+                                 _raw_bm25_query("304", 12, {1}),
+                                 _raw_bm25_query("305", 12, {2})]}, f)
+    out1 = tmp_path / "out_bm25"
+    prep_main(["--bm25-pickles", str(tmp_path / "raw.pkl"),
+               "--out", str(out1), "--seq-len", "10"])
+    data = load_pkl_dataset(str(out1), "robust04", "bm25", family="choopy")
+    assert data.x_train.shape[0] + data.x_test.shape[0] == 3
+
+    # matchzoo dataframe + gt pickle
+    rows = [{"id_left": q, "id_right": f"{q}_d{j}", "relation_score": -float(j)}
+            for q in ("301", "302", "303") for j in range(10)]
+    with open(tmp_path / "mz.pkl", "wb") as f:
+        pickle.dump(pd.DataFrame(rows), f)
+    with open(tmp_path / "gt.pkl", "wb") as f:
+        pickle.dump({q: [f"{q}_d0"] for q in ("301", "302", "303")}, f)
+    out2 = tmp_path / "out_mz"
+    prep_main(["--matchzoo-pkl", str(tmp_path / "mz.pkl"),
+               "--gt-pkl", str(tmp_path / "gt.pkl"),
+               "--out", str(out2), "--dataset-name", "drmm_tks",
+               "--seq-len", "10"])
+    data = load_pkl_dataset(str(out2), "robust04", "drmm_tks", family="choopy")
+    assert data.x_train.shape[0] + data.x_test.shape[0] == 3
