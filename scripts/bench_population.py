@@ -94,8 +94,19 @@ def main():
             for a, b in zip(out_warm["per_member"], seq_rows))
 
     print(json.dumps(result, indent=2), flush=True)
+    # merge into the out-file keyed by configuration, so the K x model grid
+    # accumulates in one artifact
+    try:
+        with open(args.out) as f:
+            merged = json.load(f)
+        if "model" in merged:  # legacy single-run layout
+            merged = {f"{merged['model']}_{merged['dataset_name']}"
+                      f"_k{merged['k']}": merged}
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
+    merged[f"{args.model}_{args.dataset_name}_k{args.k}"] = result
     with open(args.out, "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
