@@ -16,11 +16,14 @@ and c per step, the backward recomputes the gate activations from the saved
 inputs (one extra matmul) and accumulates dW_hh in VMEM across the whole
 sequence, writing it once.
 
-NOTE: these kernels use `pl.program_id` as the time index, so they must not
-be `vmap`-ed (pallas auto-batching prepends a grid axis, which would silently
-re-bind program_id(0) to the batch axis). The LSTM is shared (pre-vmap) in
-every model — the vmapped MMOE experts are attention-only (models/mmoe.py) —
-and `fused_lstm` asserts rank-3 input to keep it that way.
+vmap over these kernels is CORRECT: pallas batching keeps existing
+`pl.program_id` axes stable when it adds the batch grid axis, verified
+exactly (fwd + grad) by `tests/test_ops_lstm.py::test_vmap_matches_sequential`
+— the population engine (rlt_tpu/population.py) relies on this to train K
+members of every model as one vmapped program with the fused kernels on.
+The rank-3 asserts below reject *explicitly batched* arrays only: callers
+must vmap rather than hand the kernel a stacked axis it would misread as
+batch rows.
 """
 
 from __future__ import annotations
@@ -262,7 +265,7 @@ def fused_lstm(xw: jax.Array, w_hh_t: jax.Array,
     if xw.ndim != 3:
         raise ValueError(
             f"fused_lstm expects unbatched (L, B, 4H) input, got {xw.shape}; "
-            "do not vmap this op (see module docstring)")
+            "vmap the call instead of stacking an axis (module docstring)")
     hs = _run_stacked(xw[:, None], w_hh_t[None], interpret)
     return hs[:, 0]
 
@@ -288,7 +291,8 @@ def fused_lstm_bidir(xw_fwd: jax.Array, xw_rev: jax.Array,
     if xw_fwd.ndim != 3:
         raise ValueError(
             f"fused_lstm_bidir expects unbatched (L, B, 4H) inputs, got "
-            f"{xw_fwd.shape}; do not vmap this op (see module docstring)")
+            f"{xw_fwd.shape}; vmap the call instead of stacking an axis "
+            "(module docstring)")
     xw = jnp.stack([xw_fwd, xw_rev], axis=1)        # (L, 2, B, 4H)
     whh = jnp.stack([w_hh_fwd_t, w_hh_rev_t])       # (2, H, 4H)
     hs = _run_stacked(xw, whh, interpret)           # (L, 2, B, H)

@@ -182,11 +182,19 @@ def _draw_keys(epoch_key: jax.Array, n: int):
 
 
 def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
-                     data=None, track_best_params: bool = False) -> dict:
+                     data=None, track_best_params: bool = False,
+                     chunk_size: int | None = None) -> dict:
     """Train every member in vmapped lockstep; return per-member summaries.
 
     data: None (per-member synthetic / shared pkl corpus, like Trainer),
     one RankedListData (shared), or a list of per-member RankedListData.
+
+    chunk_size: HBM capacity valve — when set and K > chunk_size, the
+    population runs as ceil(K / chunk_size) sequential vmapped programs of at
+    most chunk_size members each (measured: mmoecut K=16 needs 19.4G on a
+    15.75G v5e; K=8 fits — RESULTS.md "Population training"). Results are
+    identical to the unchunked run member-for-member: members interact only
+    through the vmap axis.
 
     Returns {"per_member": [summary dicts with Trainer._summarize's keys plus
     the member's hyperparameters], "f1_record": (K, epochs), "dcg_record":
@@ -196,6 +204,27 @@ def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
     K = len(members)
     if K == 0:
         raise ValueError("empty population")
+
+    if chunk_size is not None and K > chunk_size:
+        if chunk_size < 1:
+            raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+        chunks = [
+            train_population(cfg, members[i:i + chunk_size],
+                             data=(data[i:i + chunk_size]
+                                   if isinstance(data, list) else data),
+                             track_best_params=track_best_params)
+            for i in range(0, K, chunk_size)
+        ]
+        out: dict[str, Any] = {
+            "per_member": [r for c in chunks for r in c["per_member"]],
+            "f1_record": np.concatenate([c["f1_record"] for c in chunks]),
+            "dcg_record": np.concatenate([c["dcg_record"] for c in chunks]),
+        }
+        if track_best_params:
+            out["best_params"] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs),
+                *[c["best_params"] for c in chunks])
+        return out
 
     if any(m.rerank_weight is not None or m.class_weight is not None
            for m in members) and not (

@@ -44,6 +44,13 @@ def main():
     p.add_argument("--dataset-name", type=str, default="drmm_tks")
     p.add_argument("--k", type=int, default=8, help="population size / seeds 0..k-1")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="vmapped pallas kernels serialize their grids over "
+                        "members; XLA-scan recurrences batch members into "
+                        "one fat chain instead — A/B this")
+    p.add_argument("--chunk", type=int, default=None,
+                   help="members per vmapped program (HBM capacity valve; "
+                        "population.train_population chunk_size)")
     p.add_argument("--skip-sequential", action="store_true",
                    help="population timings only (sequential side already "
                         "recorded elsewhere)")
@@ -53,20 +60,22 @@ def main():
     cfg = config_lib.apply_preset(config_lib.TrainConfig(
         model_name=args.model, retrieve_data=args.retrieve_data,
         dataset_name=args.dataset_name, epochs=args.epochs,
+        use_pallas=not args.no_pallas,
         log_dir="/tmp/rlt_tpu_pop_bench",
     ))
     members = [Member(seed=s) for s in range(args.k)]
 
     t0 = time.time()
-    out_cold = train_population(cfg, members)
+    out_cold = train_population(cfg, members, chunk_size=args.chunk)
     pop_cold = time.time() - t0
     t0 = time.time()
-    out_warm = train_population(cfg, members)
+    out_warm = train_population(cfg, members, chunk_size=args.chunk)
     pop_warm = time.time() - t0
 
     result = {
         "model": args.model, "dataset_name": args.dataset_name,
-        "k": args.k, "epochs": args.epochs,
+        "k": args.k, "epochs": args.epochs, "chunk": args.chunk,
+        "use_pallas": not args.no_pallas,
         "pop_cold_wall_s": round(pop_cold, 2),
         "pop_warm_wall_s": round(pop_warm, 2),
         "per_member": out_warm["per_member"],
@@ -104,7 +113,8 @@ def main():
                       f"_k{merged['k']}": merged}
     except (FileNotFoundError, json.JSONDecodeError):
         merged = {}
-    merged[f"{args.model}_{args.dataset_name}_k{args.k}"] = result
+    tag = "" if not args.no_pallas else "_nopallas"
+    merged[f"{args.model}_{args.dataset_name}_k{args.k}{tag}"] = result
     with open(args.out, "w") as f:
         json.dump(merged, f, indent=2)
 

@@ -1,7 +1,7 @@
 """Fused Pallas LSTM (rlt_tpu/ops/lstm.py) vs the lax.scan reference, in
 interpret mode on CPU: forward parity, custom-vjp gradient parity (BPTT
-through all gates + recurrent weights), batch padding, and the no-vmap
-guard."""
+through all gates + recurrent weights), batch padding, vmap-batching
+exactness, and the explicitly-batched-input guard."""
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,30 @@ def test_rejects_batched_input():
     with pytest.raises(ValueError, match="unbatched"):
         fused_lstm(jnp.zeros((2, 5, 4, 64)), jnp.zeros((16, 64)),
                    interpret=True)
+
+
+def test_vmap_matches_sequential():
+    """The population engine (rlt_tpu/population.py) vmaps whole train steps
+    over K members WITH the fused kernels on — pallas batching must keep the
+    time grid axis stable under the prepended member axis, exactly (fwd and
+    grad)."""
+    key = jax.random.PRNGKey(11)
+    K = 3
+    xws = jnp.stack([make_inputs(jax.random.fold_in(key, i))[0]
+                     for i in range(K)])
+    whhs = jnp.stack([make_inputs(jax.random.fold_in(key, i))[1]
+                      for i in range(K)])
+
+    f = lambda a, w: fused_lstm(a, w, interpret=True)  # noqa: E731
+    vm = jax.vmap(f)(xws, whhs)
+    seq = jnp.stack([f(xws[i], whhs[i]) for i in range(K)])
+    np.testing.assert_array_equal(np.asarray(vm), np.asarray(seq))
+
+    g_vm = jax.grad(lambda a: jnp.sum(jax.vmap(f)(a, whhs) ** 2))(xws)
+    g_seq = jax.grad(
+        lambda a: jnp.sum(jnp.stack([f(a[i], whhs[i]) for i in range(K)]) ** 2)
+    )(xws)
+    np.testing.assert_array_equal(np.asarray(g_vm), np.asarray(g_seq))
 
 
 def test_bidir_forward_matches_two_scans():

@@ -149,3 +149,28 @@ def test_population_shared_explicit_dataset():
     # same shared corpus (seed varies init/shuffle randomness only)
     _assert_member_matches_sequential(
         out["per_member"][1], dataclasses.replace(cfg, seed=1), data=data)
+
+
+def test_population_chunked_equals_unchunked():
+    """chunk_size (the HBM capacity valve) must be invisible in the results:
+    members interact only through the vmap axis, so ceil(K/chunk) sequential
+    programs return member-for-member identical records."""
+    cfg = tiny_cfg(epochs=3, scan_block_epochs=2)
+    members = [Member(seed=0), Member(seed=1), Member(seed=2)]
+    whole = train_population(cfg, members, track_best_params=True)
+    chunked = train_population(cfg, members, track_best_params=True,
+                               chunk_size=2)
+    # different vmap widths (K=3 vs K=2 + K=1) change float-reduction shapes,
+    # so agreement is to the ulp, not bit-for-bit (measured 6e-8 max here)
+    np.testing.assert_allclose(whole["f1_record"], chunked["f1_record"],
+                               atol=1e-6)
+    np.testing.assert_allclose(whole["dcg_record"], chunked["dcg_record"],
+                               atol=1e-5)
+    for a, b in zip(whole["per_member"], chunked["per_member"]):
+        assert a["member"] == b["member"]
+        assert abs(a["best_f1"] - b["best_f1"]) < 1e-6
+        assert abs(a["best_dcg"] - b["best_dcg"]) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        whole["best_params"], chunked["best_params"])
