@@ -372,7 +372,7 @@ def main(argv=None):
     server = make_server(service, args.host, args.port)
     logger.info("serving %s on http://%s:%d (seq_len=%d, max_batch=%d)",
                 cfg.model_name, *server.server_address, cfg.seq_len,
-                args.max_batch)
+                service.max_batch)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

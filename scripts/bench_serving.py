@@ -34,7 +34,7 @@ import urllib.request
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def wait_healthy(base: str, deadline_s: float = 420.0) -> dict:
+def wait_healthy(base: str, deadline_s: float = 900.0) -> dict:
     t0 = time.time()
     while time.time() - t0 < deadline_s:
         try:
@@ -142,6 +142,7 @@ def main():
     p.add_argument("--duration", type=float, default=20.0)
     p.add_argument("--port", type=int, default=18411)
     p.add_argument("--skip-exported", action="store_true")
+    p.add_argument("--skip-live", action="store_true")
     p.add_argument("--out", type=str, default="RESULTS_serving.json")
     args = p.parse_args()
 
@@ -150,11 +151,12 @@ def main():
     live = ["--model-name", args.model, "--retrieve-data", args.retrieve_data]
 
     results = []
-    results.append(run_config(
-        "live", live, args.port, scores, args.threads, args.duration))
-    results.append(run_config(
-        "live+microbatch", [*live, "--microbatch"], args.port + 1, scores,
-        args.threads, args.duration))
+    if not args.skip_live:
+        results.append(run_config(
+            "live", live, args.port, scores, args.threads, args.duration))
+        results.append(run_config(
+            "live+microbatch", [*live, "--microbatch"], args.port + 1,
+            scores, args.threads, args.duration))
 
     if not args.skip_exported:
         bundle = "/tmp/rlt_tpu_serving_bundle"
@@ -171,10 +173,17 @@ def main():
             "exported+microbatch", [*exported, "--microbatch"],
             args.port + 3, scores, args.threads, args.duration))
 
+    try:
+        with open(args.out) as f:
+            prev = json.load(f).get("configs", [])
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev = []
+    names = {r["config"] for r in results}
+    merged = [r for r in prev if r["config"] not in names] + results
     with open(args.out, "w") as f:
         json.dump({"model": args.model, "retrieve_data": args.retrieve_data,
                    "threads": args.threads, "duration_s": args.duration,
-                   "configs": results}, f, indent=1)
+                   "configs": merged}, f, indent=1)
     print(f"wrote {args.out}", flush=True)
 
 
