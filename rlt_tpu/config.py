@@ -69,6 +69,12 @@ class TrainConfig:
     # TPU execution
     compute_dtype: str = "float32"    # 'float32' | 'bfloat16' matmul inputs
     use_pallas: bool = True  # Pallas kernels (fused attention + fused LSTM) on TPU
+    # Bulk dropout bits from the TPU-native RngBitGenerator ('rbg') stream
+    # instead of threefry's emulated u32 math — measured 3.7 ms/step of the
+    # mmoecut program is threefry mask generation (RESULTS.md "whole-model
+    # time breakdown"). Distribution-identical bernoulli masks, different
+    # bitstream; False restores the threefry streams of earlier records.
+    fast_dropout_rng: bool = True
     scan_block_epochs: int = 25       # epochs per scanned program invocation
     data_parallel: bool = False       # shard batch over a Mesh('data')
     # >1 adds a 'model' mesh axis (with data_parallel): expert-parallel MMOE

@@ -73,9 +73,17 @@ class Dropout(nn.Module):
     when each vmapped population member (rlt_tpu/population.py) carries its
     own dropout rate as a tracer. The class is deliberately named ``Dropout``
     so flax auto-names instances ``Dropout_N`` exactly like the nn.Dropout
-    they replace — the "dropout" rng fold path, hence every mask bit, is
-    unchanged, and the static-rate path reproduces nn.Dropout exactly
-    (same bernoulli + lax.select math)."""
+    they replace (same "dropout" rng fold path).
+
+    Mask generation is TPU-lean: 16 random bits per unit compared against an
+    integer threshold, instead of `jax.random.bernoulli`'s 32 bits -> f32
+    uniform -> compare. Profiling showed dropout-mask generation for the
+    MMOE expert FFNs (63x300x2048 per expert per step) as the single largest
+    non-matmul term of the train step (RESULTS.md "whole-model time
+    breakdown"); halving the generated bits halves that HBM-bound cost. The
+    keep probability is quantized to the 2^-16 grid — bernoulli itself
+    quantizes to f32's 2^-23 grid, and every dropout rate in the framework
+    (0.05-0.5) sits ~1e-5 from its quantized value, far below seed noise."""
 
     rate: float = 0.0
 
@@ -85,8 +93,11 @@ class Dropout(nn.Module):
         if deterministic or (not isinstance(r, jax.Array) and r == 0.0):
             return x
         keep = 1.0 - r
-        mask = jax.random.bernoulli(self.make_rng("dropout"), p=keep,
-                                    shape=x.shape)
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        # threshold on the u16 grid; clamp keeps a traced rate of exactly 0
+        # meaningful (P(keep) = 65535/65536 — the static-0 case exits above)
+        thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
+        mask = bits < thresh.astype(jnp.uint16)
         return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -258,31 +269,40 @@ class SelfAttention(nn.Module):
         d = self.d_model
         in_proj_w = self.param("in_proj_weight", xavier_uniform(), (3 * d, d))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
-        qkv = x @ in_proj_w.T + in_proj_b  # (B, L, 3D)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        batch, seq_len, _ = x.shape
         head_dim = d // self.n_head
 
-        def split_heads(t):
-            return t.reshape(batch, seq_len, self.n_head, head_dim).transpose(0, 2, 1, 3)
+        # Project straight into the head-major (B, H, L, dh) layout the
+        # attention op consumes: einsum folds the head split + transpose into
+        # the projection matmul's OUTPUT layout. The former split+transpose
+        # formulation materialized three (B, H, L, dh) relayout
+        # concats/copies per call around the pallas custom call — measured
+        # ~1.4 ms of the 12 ms mmoecut train step (RESULTS.md "whole-model
+        # time breakdown"). torch's in_proj rows are [q; k; v], each block
+        # head-major, so the (3, H, dh, D) reshape is exactly that layout.
+        w3 = in_proj_w.reshape(3, self.n_head, head_dim, d)
+        b3 = in_proj_b.reshape(3, 1, self.n_head, 1, head_dim)
+        q = jnp.einsum("bld,hkd->bhlk", x, w3[0]) + b3[0]
+        k = jnp.einsum("bld,hkd->bhlk", x, w3[1]) + b3[1]
+        v = jnp.einsum("bld,hkd->bhlk", x, w3[2]) + b3[2]
 
         rng = None
         rate = self.dropout if dropout_rate is None else dropout_rate
         if not deterministic and (isinstance(rate, jax.Array) or rate > 0.0):
             rng = self.make_rng("dropout")
         attn = multi_head_attention(
-            split_heads(q), split_heads(k), split_heads(v),
+            q, k, v,
             dropout_rate=0.0 if deterministic else rate,
             dropout_rng=rng,
             # the fused kernel is trainable (custom_vjp + in-kernel dropout),
             # so it serves the training path too
             use_pallas=self.use_pallas,
         )
-        attn = attn.transpose(0, 2, 1, 3).reshape(batch, seq_len, d)
         out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
-        return attn @ out_w.T + out_b
+        # out = concat_heads(attn) @ out_w.T, with the head concat absorbed
+        # into the contraction (torch out_proj columns are head-major)
+        return jnp.einsum("bhlk,dhk->bld",
+                          attn, out_w.reshape(d, self.n_head, head_dim)) + out_b
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -234,6 +234,15 @@ def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
             f"(run.py:79/:84); {cfg.model_name!r}'s criterion would silently "
             "ignore them")
 
+    # Force threefry dropout bits: threefry is counter-based and therefore
+    # vmap-width-invariant, so every member's mask stream is bit-identical
+    # to its sequential Trainer run (the engine's equivalence contract,
+    # pinned by tests/test_population.py). The fast rbg stream
+    # (cfg.fast_dropout_rng, default for sequential training) is NOT vmap
+    # invariant — XLA's RngBitGenerator batching rewrites the bit layout per
+    # batch width — which would silently decouple population trajectories
+    # from their sequential twins (and chunked runs from unchunked).
+    cfg = dataclasses.replace(cfg, fast_dropout_rng=False)
     use_pallas = cfg.use_pallas and pallas_supported()
     model = build_model(
         cfg.model_name, seq_len=cfg.seq_len, input_size=cfg.input_size,

@@ -173,6 +173,18 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig,
         return [to32(o) for o in output] if isinstance(output, (list, tuple)) \
             else to32(output)
 
+    def _bulk_rng(key):
+        """Dropout-bit generator key. Key DERIVATION stays threefry (cheap
+        scalar splits, the framework's reproducibility spine); only the bulk
+        bernoulli BITS switch to the TPU-native RngBitGenerator stream —
+        profiling showed threefry mask generation for the expert FFNs
+        (pred[3,63,300,2048] per step) costing 3.7 ms of the 15.7 ms mmoecut
+        step (RESULTS.md "whole-model time breakdown")."""
+        if not cfg.fast_dropout_rng:
+            return key
+        data = jax.random.key_data(key)  # (2,) uint32 threefry payload
+        return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
+
     def loss_fn(params, x, y, valid, dropout_rng, hp):
         hp = hp or {}
         params_c, x_c = _cast_in(params, x)
@@ -181,7 +193,7 @@ def build_epoch_fn(model, criterion, optimizer, cfg: config_lib.TrainConfig,
             apply_kw["dropout_rate"] = hp["dropout_rate"]
         output = _cast_out(model.apply(
             {"params": params_c}, x_c, deterministic=False,
-            rngs={"dropout": dropout_rng}, **apply_kw,
+            rngs={"dropout": _bulk_rng(dropout_rng)}, **apply_kw,
         ))
         crit_kw = hp.get("criterion") or {}
         return criterion(output, y, valid=valid, **crit_kw), output
