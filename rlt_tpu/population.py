@@ -183,11 +183,17 @@ def _draw_keys(epoch_key: jax.Array, n: int):
 
 def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
                      data=None, track_best_params: bool = False,
-                     chunk_size: int | None = None) -> dict:
+                     chunk_size: int | None = None, mesh=None) -> dict:
     """Train every member in vmapped lockstep; return per-member summaries.
 
     data: None (per-member synthetic / shared pkl corpus, like Trainer),
     one RankedListData (shared), or a list of per-member RankedListData.
+
+    mesh: a jax.sharding.Mesh — shards the member axis over the mesh's
+    first axis (members are embarrassingly parallel: K=64 trials on 8 chips
+    run 8 member-groups concurrently with zero collectives). K must be a
+    multiple of the mesh size. Composes with chunk_size (each chunk is
+    sharded).
 
     chunk_size: HBM capacity valve — when set and K > chunk_size, the
     population runs as ceil(K / chunk_size) sequential vmapped programs of at
@@ -212,7 +218,7 @@ def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
             train_population(cfg, members[i:i + chunk_size],
                              data=(data[i:i + chunk_size]
                                    if isinstance(data, list) else data),
-                             track_best_params=track_best_params)
+                             track_best_params=track_best_params, mesh=mesh)
             for i in range(0, K, chunk_size)
         ]
         out: dict[str, Any] = {
@@ -299,6 +305,25 @@ def train_population(cfg: config_lib.TrainConfig, members: Sequence[Member],
          for m in members], jnp.float32)
     state, epoch_keys = jax.jit(jax.vmap(init_member))(seeds, lrs, wds,
                                                        hp_stacked)
+
+    if mesh is not None:
+        # Members never interact, so sharding the leading member axis of
+        # every stacked input over the mesh's first axis partitions the
+        # whole vmapped program member-parallel with ZERO collectives (XLA
+        # propagates the sharding through the epoch scan). Per-member math
+        # is intra-shard, so results are bit-identical to the unsharded run
+        # (tests/test_population.py::test_population_sharded_over_mesh).
+        axis = mesh.axis_names[0]
+        if K % mesh.devices.size != 0:
+            raise ValueError(
+                f"population size {K} must divide over the {mesh.devices.size}"
+                f"-device mesh (whole members per device)")
+        member_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(axis))
+        shard = lambda tree: jax.tree.map(  # noqa: E731
+            lambda a: jax.device_put(a, member_sharding), tree)
+        state, epoch_keys, data_dev = (shard(state), shard(epoch_keys),
+                                       shard(data_dev))
 
     pop_fn = jax.jit(jax.vmap(multi_epoch_raw), donate_argnums=(0,))
     draw = jax.jit(jax.vmap(_draw_keys, in_axes=(0, None)),

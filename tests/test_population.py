@@ -186,3 +186,29 @@ def test_population_chunked_equals_unchunked():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5),
         whole["best_params"], chunked["best_params"])
+
+
+def test_population_sharded_over_mesh():
+    """mesh= shards the member axis over the devices (members are
+    embarrassingly parallel — zero collectives): results must match the
+    unsharded run member-for-member. Agreement is to the ulp, not
+    bit-for-bit: partitioning changes the shapes XLA fuses per shard, which
+    reorders f32 accumulations (measured 6e-8 max here). Runs on the
+    8-virtual-CPU mesh from conftest."""
+    from rlt_tpu.parallel.mesh import data_parallel_mesh
+
+    cfg = tiny_cfg(epochs=3, scan_block_epochs=2)
+    members = [Member(seed=s) for s in range(4)]
+    mesh = data_parallel_mesh(4)
+    plain = train_population(cfg, members)
+    sharded = train_population(cfg, members, mesh=mesh)
+    np.testing.assert_allclose(plain["f1_record"], sharded["f1_record"],
+                               atol=1e-6)
+    np.testing.assert_allclose(plain["dcg_record"], sharded["dcg_record"],
+                               atol=1e-5)
+    for a, b in zip(plain["per_member"], sharded["per_member"]):
+        assert a["member"] == b["member"]
+        assert abs(a["best_f1"] - b["best_f1"]) < 1e-6
+
+    with np.testing.assert_raises(ValueError):  # K=3 not divisible by 4
+        train_population(cfg, members[:3], mesh=mesh)
