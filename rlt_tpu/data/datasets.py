@@ -227,6 +227,7 @@ def synthetic_dataset(
     noise_scale: float = 1.0,
     relevant_spread: float = 0.0,
     subtype_polarity: float = 0.0,
+    hetero_reliability: float = 0.0,
 ) -> RankedListData:
     """Deterministic synthetic ranked lists with robust04-like statistics.
 
@@ -271,6 +272,19 @@ def synthetic_dataset(
       oracle (which adapts k per query) keeps its ceiling, but any fixed or
       rank-only cut degrades: a model must read the list's evidence to find
       where ITS relevance stops, which is the actual truncation task.
+    * hetero_reliability: per-query HETEROSCEDASTIC feature reliability —
+      the round-3 MMOE-margin attribution, now a testable axis (VERDICT r3
+      ask #1). Each query draws a reliability share over the F-1 stat
+      channels from Dirichlet(alpha) with alpha = 1.5*(1-h) (h→1 means most
+      queries trust ONE channel); channel c's evidence weight scales with
+      its share while its noise sigma scales with (1 - share), keeping the
+      TOTAL evidence budget constant per query. A per-query router that
+      reads each channel's noise level (estimable from the list itself —
+      the cue) recovers full SNR from the reliable channel; a monolithic
+      encoder that pools channels unconditionally averages low-noise signal
+      with high-noise noise. This is precisely the per-query gating
+      mechanism of reference models/MMOECut.py:94-102. Overrides the
+      subtypes channel-weight scheme when both are set.
     """
     rng = np.random.default_rng(seed)
     n = num_queries
@@ -312,13 +326,33 @@ def synthetic_dataset(
 
     # retrieval score: decays with rank, relevant docs get a bump, plus noise
     base_score = np.exp(-decay[:, None] * ranks[None, :] / seq_len)
-    score_bump = 0.25 if subtypes == 0 else 0.10  # stat channels load-bearing
+    # stat channels load-bearing under the routing axes (subtype / hetero)
+    score_bump = 0.10 if (subtypes > 0 or hetero_reliability > 0.0) else 0.25
     score = (base_score + score_bump * y_obs
              + 0.08 * noise_scale * rng.standard_normal((n, seq_len)))
     score = score.astype(np.float32)
 
+    # per-query reliability shares over the stat channels (hetero axis)
+    rel_share = None
+    if hetero_reliability > 0.0 and num_features > 1:
+        n_stat = num_features - 1
+        alpha = max(0.15, 1.5 * (1.0 - hetero_reliability))
+        rel_share = rng.dirichlet(np.full(n_stat, alpha), size=n)  # (n, F-1)
+
     feats = [score]
     for c in range(1, num_features):
+        if rel_share is not None:
+            # evidence budget 0.6*(F-1) split by share; noise sigma grows as
+            # the channel's share shrinks — the unreliable channel is both
+            # weak-evidence and loud, and its loudness is visible in the list
+            share = rel_share[:, c - 1][:, None].astype(np.float32)  # (n,1)
+            w = 0.6 * (num_features - 1) * share
+            sigma = 0.15 * noise_scale * (0.25 + 1.75 * (1.0 - share))
+            stat = w * y_obs + sigma * rng.standard_normal((n, seq_len))
+            stat = (0.5 * stat + 0.25 * np.roll(stat, 1, axis=1)
+                    + 0.25 * np.roll(stat, -1, axis=1))
+            feats.append(stat.astype(np.float32))
+            continue
         if subtypes > 0:
             informative = (1 + (subtype % (num_features - 1))) == c  # (n,)
             # polarity rotation: odd subtype//(F-1) groups carry flipped

@@ -46,6 +46,17 @@ PROFILES = {
                    evidence_flip=0.15, relevant_spread=1.0),
     "routed": dict(SYNTHETIC_HARD_PROFILE, noise_scale=2.0,
                    evidence_flip=0.15, subtypes=4, subtype_polarity=0.5),
+    # r4: the round-3 attribution tested directly (VERDICT r3 ask #1) —
+    # per-query heteroscedastic feature reliability. subtypes=0 isolates the
+    # axis; score evidence is dialed down by the generator so the routed
+    # stat channels carry the signal.
+    "hetero": dict(SYNTHETIC_HARD_PROFILE, subtypes=0,
+                   hetero_reliability=0.85),
+    "hetero_mild": dict(SYNTHETIC_HARD_PROFILE, subtypes=0,
+                        hetero_reliability=0.5),
+    "hetero_noisy": dict(SYNTHETIC_HARD_PROFILE, subtypes=0,
+                         hetero_reliability=0.85, noise_scale=2.0,
+                         evidence_flip=0.15),
 }
 
 
