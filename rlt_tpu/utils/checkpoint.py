@@ -88,20 +88,52 @@ def load_train_state(path: str, like_state=None, epoch: int = 0):
     return payload
 
 
-def load_params(path: str, like=None):
+def _sharding_of(a):
+    """The leaf's NamedSharding if it is a committed sharded jax.Array, else
+    None (host arrays, scalars, uncommitted single-device arrays)."""
+    s = getattr(a, "sharding", None)
+    if s is not None and isinstance(s, jax.sharding.NamedSharding):
+        return s
+    return None
+
+
+def _leaf_struct(a, sharding):
+    shape = getattr(a, "shape", None)
+    dtype = getattr(a, "dtype", None)
+    if shape is None or dtype is None:
+        a = np.asarray(a)
+        shape, dtype = a.shape, a.dtype
+    return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+
+def load_params(path: str, like=None, shardings=None):
     """Load a params pytree saved by save_params; returns None if missing.
 
     `like` (an example pytree) is required for the msgpack fallback and
-    recommended for orbax restore-with-structure."""
+    recommended for orbax restore-with-structure. When `like` leaves are
+    mesh-committed jax.Arrays (a `--data-parallel` / model_parallel run,
+    parallel/sharding.py layouts), their NamedShardings are carried into the
+    restore target, so orbax materializes each tensor directly in its
+    original per-tensor layout — a resume never silently degrades a tp/ep
+    split to replicated. `shardings` (a matching tree of NamedSharding or
+    None) overrides the derived layouts."""
     path = os.path.abspath(path)
     ocp = _orbax()
+    sh_leaves = treedef = None
+    if like is not None:
+        # flatten once; sharding trees may carry None leaves (replicate /
+        # host), which jax.tree.map over multiple trees cannot express
+        like_leaves, treedef = jax.tree.flatten(like)
+        if shardings is None:
+            sh_leaves = [_sharding_of(a) for a in like_leaves]
+        else:
+            sh_leaves = jax.tree.flatten(
+                shardings, is_leaf=lambda x: x is None)[0]
     if ocp is not None and os.path.exists(path + ".orbax"):
         ckptr = ocp.StandardCheckpointer()
         if like is not None:
-            target = jax.tree.map(
-                lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-                like,
-            )
+            target = treedef.unflatten(
+                [_leaf_struct(a, s) for a, s in zip(like_leaves, sh_leaves)])
             return ckptr.restore(path + ".orbax", target)
         return ckptr.restore(path + ".orbax")
     if os.path.exists(path + ".msgpack"):
@@ -111,5 +143,11 @@ def load_params(path: str, like=None):
             data = f.read()
         if like is None:
             return serialization.msgpack_restore(data)
-        return serialization.from_bytes(like, data)
+        restored = serialization.from_bytes(like, data)
+        if sh_leaves is not None and any(s is not None for s in sh_leaves):
+            r_leaves = treedef.flatten_up_to(restored)
+            restored = treedef.unflatten([
+                a if s is None else jax.device_put(a, s)
+                for a, s in zip(r_leaves, sh_leaves)])
+        return restored
     return None

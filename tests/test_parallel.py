@@ -308,3 +308,57 @@ def test_trainer_model_parallel_matches_single_device():
                                          model_parallel=1), data=data).run()
     assert abs(sharded["best_f1"] - single["best_f1"]) < 1e-4
     assert abs(sharded["best_dcg"] - single["best_dcg"]) < 1e-3
+
+
+@needs_multi_cpu
+@pytest.mark.parametrize("model_parallel", [1, 2], ids=["1d-dp", "2d-dp-tp"])
+def test_sharded_checkpoint_resume(tmp_path, model_parallel):
+    """Resume under a mesh (VERDICT r3 ask #5): restored tensors carry the
+    ORIGINAL NamedShardings (a tp split must not silently degrade to
+    replicated through the orbax roundtrip) and the resumed trajectory
+    matches an uninterrupted run."""
+    import dataclasses
+
+    from rlt_tpu.config import TrainConfig
+    from rlt_tpu.data import synthetic_dataset
+    from rlt_tpu.train import Trainer
+
+    cfg = TrainConfig(
+        model_name="attncut", seq_len_override=16, input_size_override=3,
+        synthetic_queries=32, batch_size=16, epochs=4,
+        use_pallas=False, log_dir="/tmp/rlt_tpu_test_runs",
+        data_parallel=True, model_parallel=model_parallel,
+        model_persist=True, save_path=str(tmp_path / "interrupted"),
+    )
+    data = synthetic_dataset(num_queries=32, seq_len=16, num_features=3,
+                             mean_relevant=4.0, seed=0)
+
+    # uninterrupted 4-epoch run (its own save dir so snapshots don't mix)
+    full = Trainer(dataclasses.replace(
+        cfg, save_path=str(tmp_path / "full")), data=data)
+    full.run()
+
+    # interrupted after 2 epochs, then resumed to 4 from the snapshot
+    Trainer(dataclasses.replace(cfg, epochs=2), data=data).run()
+    resumed = Trainer(cfg, data=data)
+    want_shardings = jax.tree.map(lambda a: a.sharding, resumed.state.params)
+    resumed.run(resume=True)
+
+    # (a) layouts intact: every restored tensor has its original sharding,
+    # and on the 2-D mesh at least one is genuinely split over "model"
+    got = jax.tree.leaves(
+        jax.tree.map(lambda a, s: a.sharding.is_equivalent_to(s, ndim=a.ndim),
+                     resumed.state.params, want_shardings))
+    assert all(got)
+    if model_parallel > 1:
+        assert any(not a.sharding.is_fully_replicated
+                   for a in jax.tree.leaves(resumed.state.params)), \
+            "2-D run restored fully replicated — tp layout lost in resume"
+
+    # (b) trajectory: interrupted+resumed == uninterrupted
+    assert len(resumed.f1_record) == 4
+    np.testing.assert_allclose(resumed.f1_record, full.f1_record, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+        resumed.state.params, full.state.params)
