@@ -605,7 +605,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--population", type=int, default=0,
                    help="with --parameter-search 1: train K search trials at "
                         "a time as one vmapped program instead of K "
-                        "sequential runs (rlt_tpu/population.py)")
+                        "sequential runs (rlt_tpu/population.py); combine "
+                        "with --data-parallel 1 to shard the member axis "
+                        "over all visible chips (whole members per chip)")
     return p
 
 
@@ -686,7 +688,15 @@ def parameter_search(cfg: config_lib.TrainConfig, population: int = 0) -> None:
     population=0 trains the trials sequentially like the reference;
     population=K trains them K at a time as ONE vmapped program
     (rlt_tpu/population.py) — same trials, same record lines, but the chip
-    sees K× fatter matmuls instead of K sequential mostly-idle runs."""
+    sees K× fatter matmuls instead of K sequential mostly-idle runs.
+
+    With cfg.data_parallel the population's member axis is additionally
+    sharded over a 1-D device mesh (whole members per chip, zero
+    collectives). train_population requires K to divide the mesh, so each
+    chunk gets a mesh over the LARGEST divisor of its size that the backend
+    can supply (a trailing chunk of 3 on 8 chips runs on 3; a chunk of 1
+    runs unsharded) — never an error mid-search, never a silent no-shard
+    when sharding is possible."""
     trials = draw_search_trials(cfg)
     record = _search_record_path(cfg)
 
@@ -697,12 +707,29 @@ def parameter_search(cfg: config_lib.TrainConfig, population: int = 0) -> None:
     if population > 1:
         from rlt_tpu.population import Member, train_population
 
+        n_dev = 0
+        if cfg.data_parallel:
+            from rlt_tpu.parallel import data_parallel_mesh
+
+            n_dev = len(jax.devices())
+
+        def chunk_mesh(k: int):
+            m = min(k, n_dev)
+            while m > 1 and k % m:
+                m -= 1
+            if m <= 1:
+                return None
+            logger.info("population chunk of %d sharded over %d devices",
+                        k, m)
+            return data_parallel_mesh(m)
+
         for lo in range(0, len(trials), population):
             chunk = trials[lo:lo + population]
             members = [Member(seed=cfg.seed, **ov) for ov in chunk]
             logger.info("population search trials %d..%d: %s", lo,
                         lo + len(chunk) - 1, members)
-            out = train_population(cfg, members)
+            out = train_population(cfg, members,
+                                   mesh=chunk_mesh(len(chunk)) if n_dev else None)
             for ov, row in zip(chunk, out["per_member"]):
                 write(dataclasses.replace(cfg, **ov), row)
         return
