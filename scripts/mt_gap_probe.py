@@ -57,6 +57,11 @@ PROFILES = {
     "hetero_noisy": dict(SYNTHETIC_HARD_PROFILE, subtypes=0,
                          hetero_reliability=0.85, noise_scale=2.0,
                          evidence_flip=0.15),
+    # sharpest version of the mechanism: run with --features 5 so each query
+    # trusts ~one of FOUR stat channels — a pooled readout averages three
+    # noise channels in, a per-query router drops them
+    "hetero_extreme": dict(SYNTHETIC_HARD_PROFILE, subtypes=0,
+                           hetero_reliability=0.95),
 }
 
 
@@ -67,6 +72,10 @@ def main():
     p.add_argument("--seeds", type=str, default="0,1,2")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--queries", type=int, default=250)
+    p.add_argument("--features", type=int, default=3,
+                   help="num_features / model input_size (3 = robust04-like; "
+                        "5 sharpens the hetero-reliability axis: 4 stat "
+                        "channels, ~1 reliable per query)")
     p.add_argument("--out", type=str, default="RESULTS_mtgap.jsonl")
     args = p.parse_args()
 
@@ -81,7 +90,8 @@ def main():
         prof = PROFILES[prof_name]
         for seed in [int(s) for s in args.seeds.split(",")]:
             data = synthetic_dataset(
-                num_queries=args.queries, seq_len=300, num_features=3,
+                num_queries=args.queries, seq_len=300,
+                num_features=args.features,
                 retrieval_quality=19.5, mean_relevant=45.0, seed=seed, **prof)
             yte, ytr = jnp.asarray(data.y_test), jnp.asarray(data.y_train)
             emit({"profile": prof_name, "seed": seed, "kind": "anchors",
@@ -92,6 +102,8 @@ def main():
             for m in args.models.split(","):
                 cfg = apply_preset(TrainConfig(
                     model_name=m, epochs=args.epochs, seed=seed,
+                    input_size_override=(None if args.features == 3
+                                         else args.features),
                     log_dir="/tmp/rlt_mtgap_runs"))
                 t0 = time.time()
                 s = Trainer(cfg, data=data).run()
