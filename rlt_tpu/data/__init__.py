@@ -20,3 +20,9 @@ from rlt_tpu.data.doc2vec import (  # noqa: F401
     doc2vec_embeddings_per_query,
     train_doc2vec,
 )
+from rlt_tpu.data.text import (  # noqa: F401
+    STOPWORDS,
+    clean_text,
+    corpus_from_docset,
+    tokens_for_ranked,
+)

@@ -274,6 +274,15 @@ def main(argv=None):
 
     python -m rlt_tpu.data.prep --run run.txt --qrels qrels.txt \
         --out dataset/ --dataset-name bm25 [--seq-len 300]
+
+    Optionally, document TEXT flows all the way to stat features (the
+    document_statics.ipynb cells 5-9 front-end, rlt_tpu/data/text.py):
+      --docset-pkl docset.pkl   {doc_id: {"title","abstractText"} | raw str}
+                                — cleaned + tokenized here; or
+      --tokens-pkl tokens.pkl   {doc_id: [token, ...]} pre-tokenized.
+    Either adds the attncut/mtcut stat-feature pkls to the layout;
+    --train-embeddings additionally trains PV-DBOW doc2vec over the kept
+    documents and appends the d2v neighbor-sim feature column.
     """
     import argparse
 
@@ -287,6 +296,14 @@ def main(argv=None):
     p.add_argument("--gt-pkl", type=str,
                    help="gt pickle (qid -> relevant doc ids); required "
                         "with --matchzoo-pkl")
+    p.add_argument("--docset-pkl", type=str,
+                   help="raw document text pickle {doc_id: text-or-fields}; "
+                        "cleaned/tokenized into stat features")
+    p.add_argument("--tokens-pkl", type=str,
+                   help="pre-tokenized documents {doc_id: [token, ...]}")
+    p.add_argument("--train-embeddings", action="store_true",
+                   help="with --docset-pkl/--tokens-pkl: train doc2vec and "
+                        "append the d2v neighbor-sim feature")
     p.add_argument("--out", type=str, required=True, help="output dataset root")
     p.add_argument("--retrieve-data", type=str, default="robust04")
     p.add_argument("--dataset-name", type=str, default="bm25")
@@ -316,9 +333,34 @@ def main(argv=None):
         run = run_from_trec_file(args.run)
         gt = qrels_from_trec_file(args.qrels)
         ranked, gt, _ = prepare_dataset(run, gt, seq_len=args.seq_len)
+
+    stats = None
+    if args.docset_pkl or args.tokens_pkl:
+        if args.docset_pkl and args.tokens_pkl:
+            p.error("give at most one of --docset-pkl, --tokens-pkl")
+        from rlt_tpu.data.features import build_stat_features
+        from rlt_tpu.data.text import corpus_from_docset, tokens_for_ranked
+
+        with open(args.docset_pkl or args.tokens_pkl, "rb") as f:
+            table = pickle.load(f)
+        doc_tokens = corpus_from_docset(table) if args.docset_pkl else table
+        kept_tokens = tokens_for_ranked(ranked, doc_tokens)
+        embeddings = None
+        if args.train_embeddings:
+            from rlt_tpu.data.doc2vec import (
+                doc2vec_embeddings_per_query,
+                train_doc2vec,
+            )
+
+            corpus = [t for toks in kept_tokens.values() for t in toks]
+            model = train_doc2vec(corpus)
+            embeddings = doc2vec_embeddings_per_query(model, kept_tokens)
+        stats = build_stat_features(kept_tokens, embeddings)
     write_reference_layout(args.out, args.retrieve_data, args.dataset_name,
-                           ranked, gt, seed=args.seed)
-    print(f"wrote {len(ranked)} queries to {args.out}/{args.retrieve_data}")
+                           ranked, gt, stats=stats, seed=args.seed)
+    print(f"wrote {len(ranked)} queries to {args.out}/{args.retrieve_data}"
+          + ("" if stats is None else
+             f" with {next(iter(stats.values())).shape[1]}-col stat features"))
 
 
 def prepare_dataset(
