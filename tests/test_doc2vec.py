@@ -142,3 +142,105 @@ def test_positional_lookup_size_mismatch_raises():
     model = train_doc2vec(corpus, vector_size=8, min_count=1, epochs=1, seed=0)
     with pytest.raises(ValueError, match="doc_index"):
         doc2vec_embeddings_per_query(model, {"q": corpus[:2]})  # 2 != 3
+
+
+# ---------------------------------------------------------------------------
+# PV-DM vs PV-DBOW equivalence (VERDICT r3 ask #9)
+# ---------------------------------------------------------------------------
+# The reference's gensim Doc2Vec call uses the library default dm=1 (PV-DM);
+# rlt_tpu implements PV-DBOW. The only consumer of either is the NEIGHBOR
+# COSINE SIMILARITY feature (features.py::neighbor_cosine_similarity), so
+# the equivalence that matters is distributional: do the two objectives
+# induce the same neighbor-sim geometry? The reference below is a
+# self-contained numpy PV-DM trainer (gensim semantics: summed context
+# window + doc vector predicts the center word via negative sampling,
+# dm_mean=0, window=5) — independent code, not a port of doc2vec.py.
+
+
+def _train_pvdm_numpy(token_lists, dim=32, window=5, epochs=30, lr=0.025,
+                      negatives=5, min_count=1, seed=0):
+    from rlt_tpu.data.doc2vec import NEG_SAMPLING_POWER, build_doc2vec_vocab
+
+    rng = np.random.default_rng(seed)
+    vocab = build_doc2vec_vocab(token_lists, min_count=min_count)
+    ids = [[vocab[t] for t in toks if t in vocab] for toks in token_lists]
+    counts = np.zeros(len(vocab))
+    for doc in ids:
+        for w in doc:
+            counts[w] += 1
+    probs = counts ** NEG_SAMPLING_POWER
+    neg_cdf = np.cumsum(probs / probs.sum())
+
+    D = rng.uniform(-0.5 / dim, 0.5 / dim, (len(ids), dim))
+    Win = rng.uniform(-0.5 / dim, 0.5 / dim, (len(vocab), dim))
+    Wout = np.zeros((len(vocab), dim))
+
+    examples = [(d, t) for d, doc in enumerate(ids) for t in range(len(doc))]
+    for epoch in range(epochs):
+        alpha = lr * (1.0 - epoch / epochs)
+        rng.shuffle(examples)
+        for d, t in examples:
+            doc = ids[d]
+            ctx = doc[max(0, t - window):t] + doc[t + 1:t + 1 + window]
+            h = D[d] + (Win[ctx].sum(axis=0) if ctx else 0.0)  # dm_mean=0: sum
+            targets = [doc[t]] + list(
+                np.searchsorted(neg_cdf, rng.random(negatives)))
+            labels = np.array([1.0] + [0.0] * negatives)
+            out = Wout[targets]
+            g = (labels - 1.0 / (1.0 + np.exp(-out @ h))) * alpha  # (1+neg,)
+            dh = g @ out
+            Wout[targets] += np.outer(g, h)
+            D[d] += dh
+            if ctx:
+                Win[ctx] += dh
+    return D
+
+
+def _mixture_corpus(rng, n_topics=3, n_docs=90, doc_len=60, vocab_per=40):
+    """Docs with CONTINUOUS per-doc topic mixtures (Dirichlet 0.4), so
+    consecutive-pair similarity spans a whole range instead of a binary
+    same/cross-cluster split — the regime where two embedding objectives can
+    actually be compared as distributions. Returns (docs, mixture-overlap
+    ground truth per consecutive pair)."""
+    topics = [[f"t{k}w{i}" for i in range(vocab_per)] for k in range(n_topics)]
+    mix = rng.dirichlet([0.4] * n_topics, size=n_docs)
+    docs = []
+    for i in range(n_docs):
+        counts = rng.multinomial(doc_len, mix[i])
+        words = [w for k, c in enumerate(counts)
+                 for w in rng.choice(topics[k], c)]
+        rng.shuffle(words)
+        docs.append(words)
+    gt = (mix[1:] * mix[:-1]).sum(1) / (
+        np.linalg.norm(mix[1:], axis=1) * np.linalg.norm(mix[:-1], axis=1))
+    return docs, gt
+
+
+def test_pvdm_and_pvdbow_neighbor_sims_agree():
+    """The PV-DM (gensim-default) and PV-DBOW (ours) objectives must induce
+    the same neighbor-sim feature geometry. Measured on the mixture corpus
+    (recorded in RESULTS.md): Pearson r(dm, dbow) = 0.69 across consecutive
+    pairs, and PV-DBOW tracks the latent topic-overlap ground truth BETTER
+    than PV-DM (0.66 vs 0.34) — the PV-DBOW choice loses nothing for this
+    feature. Thresholds sit with margin below those measurements."""
+    from rlt_tpu.data.doc2vec import train_doc2vec
+    from rlt_tpu.data.features import neighbor_cosine_similarity
+
+    rng = np.random.default_rng(1)
+    docs, gt = _mixture_corpus(rng)
+
+    dbow = train_doc2vec(docs, vector_size=32, min_count=1, epochs=30,
+                         seed=0).docvecs
+    dm = _train_pvdm_numpy(docs, dim=32, epochs=30, seed=0)
+
+    sims_dbow = neighbor_cosine_similarity(dbow)[1:]  # row 0 is the pad
+    sims_dm = neighbor_cosine_similarity(dm)[1:]
+
+    r = np.corrcoef(sims_dbow, sims_dm)[0, 1]
+    assert r > 0.55, f"neighbor-sim correlation PV-DM vs PV-DBOW: r={r:.3f}"
+    r_dbow = np.corrcoef(sims_dbow, gt)[0, 1]
+    r_dm = np.corrcoef(sims_dm, gt)[0, 1]
+    assert r_dbow > 0.5, f"PV-DBOW vs latent overlap: r={r_dbow:.3f}"
+    assert r_dm > 0.15, f"PV-DM vs latent overlap: r={r_dm:.3f}"
+    # the framework's objective must not be the worse tracker of the truth
+    assert r_dbow > r_dm - 0.05
