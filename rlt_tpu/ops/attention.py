@@ -280,6 +280,71 @@ def fused_attention(
     return _fused_attention(float(dropout_rate), bool(interpret), q, k, v, seed)
 
 
+# ---------------------------------------------------------------------------
+# Head-packed variant for thin heads (H*dh == 128 lanes, e.g. Choopy's
+# 8 x dh=16 — models/Choopy.py:12). One program per batch element: all H
+# heads' scores come from ONE full-depth matmul Q(L,D) @ Kbig(H*L,D)^T where
+# Kbig is the head-block-structured expansion (row block h carries K's
+# feature block h, zeros elsewhere), and the PV product is the mirror-image
+# P(L,H*L) @ Vbig(H*L,D). Trades H x the MAC count (the zero blocks are real
+# work to the MXU) for full 128-deep contractions instead of 2H depth-16
+# matmuls per slice — measured either way (VERDICT r3 ask #4).
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                            heads: int):
+    g_dim, seq_len, d = q_ref.shape
+    dh = d // heads
+    # head-block mask: row block h of Kbig/Vbig is nonzero only in feature
+    # columns [h*dh, (h+1)*dh)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 1)
+    mask = ((rows // seq_len) == (cols // dh)).astype(jnp.float32)
+    for g in range(g_dim):
+        q = q_ref[g].astype(jnp.float32)  # (L, D) head-packed
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        kbig = jnp.tile(k, (heads, 1)) * mask  # (H*L, D)
+        vbig = jnp.tile(v, (heads, 1)) * mask
+        s = jax.lax.dot_general(  # (L, H*L), one 128-deep contraction
+            q, kbig, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s3 = s.reshape(seq_len, heads, seq_len)
+        m = jnp.max(s3, axis=-1, keepdims=True)
+        e = jnp.exp(s3 - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(
+            seq_len, heads * seq_len)
+        o_ref[g] = jnp.dot(
+            p, vbig, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           heads: int, interpret: bool = False) -> jax.Array:
+    """Head-packed fused attention, eval path. q, k, v: (B, L, D) with the
+    H heads CONTIGUOUS in the feature dim (D = H*dh — the projection
+    output's natural layout, no head split) -> (B, L, D)."""
+    batch, seq_len, d = q.shape
+    if d % heads:
+        raise ValueError(f"feature dim {d} not divisible by heads={heads}")
+    scale = 1.0 / math.sqrt(d // heads)
+    mat = pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_packed_kernel, scale=scale, heads=heads),
+        grid=(batch,),
+        in_specs=[mat, mat, mat],
+        out_specs=mat,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * batch * seq_len * heads * seq_len * d,
+            bytes_accessed=4 * batch * seq_len * d * 4,
+            transcendentals=batch * heads * seq_len * seq_len,
+        ),
+    )(q, k, v)
+
+
 def xla_attention(
     q: jax.Array,
     k: jax.Array,

@@ -17,6 +17,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_attention.py
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -24,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from rlt_tpu.ops import attention as _attention
-from rlt_tpu.ops.attention import fused_attention, xla_attention
+from rlt_tpu.ops.attention import (
+    fused_attention,
+    fused_attention_packed,
+    xla_attention,
+)
 
 SHAPES = {
     "choopy_robust04": (63, 8, 300, 16),
@@ -76,6 +81,9 @@ def main():
     ap.add_argument("--group", type=int, default=0,
                     help="force the per-program slice group (0 = auto picker)")
     ap.add_argument("--out", type=str, default="RESULTS_attention.json")
+    ap.add_argument("--packed-only", action="store_true",
+                    help="measure only the head-packed variant + fwd "
+                         "baselines on 128-lane shapes")
     args = ap.parse_args()
     if args.group:
         _attention._pick_group = lambda n, L, live_mats, _g=args.group: (
@@ -96,6 +104,38 @@ def main():
         rng = jax.random.PRNGKey(7)
         w = jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
 
+        cases = {}
+        if args.packed_only:
+            if shape[1] * shape[3] != 128:
+                continue
+            cases[("fwd", "pallas")] = jax.jit(
+                lambda q, k, v: fused_attention(q, k, v))
+            cases[("fwd", "xla")] = jax.jit(
+                lambda q, k, v: xla_attention(q, k, v))
+        if shape[1] * shape[3] == 128:
+            # head-packed variant (VERDICT r3 ask #4): packed (B, L, 128)
+            # layout, H full-depth-contraction matmuls traded for H x MACs
+            bsz, heads, sl, dh = shape
+            pk, pv = (a.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
+                      for a in (k, v))
+            packed_fn = jax.jit(functools.partial(
+                fused_attention_packed, heads=heads))
+            ms = timeit(packed_fn,
+                        q.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh),
+                        pk, pv)
+            records.append({"shape_name": name, "shape": list(shape),
+                            "mode": "fwd", "path": "packed",
+                            "ms": round(ms, 4)})
+            print(f"{name:18s} {'fwd':15s} packed {ms:8.3f} ms")
+        if args.packed_only:
+            by_mode = {}
+            for (mode, path), fn in cases.items():
+                ms = timeit(fn, q, k, v)
+                records.append({"shape_name": name, "shape": list(shape),
+                                "mode": mode, "path": path,
+                                "ms": round(ms, 4)})
+                print(f"{name:18s} {mode:15s} {path:6s} {ms:8.3f} ms")
+            continue
         cases = {
             ("fwd", "pallas"): jax.jit(lambda q, k, v: fused_attention(q, k, v)),
             ("fwd", "xla"): jax.jit(lambda q, k, v: xla_attention(q, k, v)),

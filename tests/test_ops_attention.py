@@ -189,3 +189,26 @@ def test_pick_group_respects_divisibility_and_vmem():
     # never exceed the VMEM budget
     g = _pick_group(8, 384, live_mats=5)
     assert g * 384 * 384 * 4 * 5 <= _GROUP_VMEM_BUDGET or g == 1
+
+
+def test_packed_matches_xla_eval():
+    """Head-packed variant (H*dh = 128 lanes, VERDICT r3 ask #4): the
+    block-structured Kbig/Vbig construction must reproduce per-head
+    attention exactly — the zero blocks contribute nothing to any head's
+    score or output."""
+    import jax
+
+    from rlt_tpu.ops.attention import fused_attention_packed, xla_attention
+
+    B, H, L, dh = 2, 8, 32, 16
+    q, k, v = (jax.random.normal(kk, (B, H, L, dh), jnp.float32)
+               for kk in jax.random.split(jax.random.PRNGKey(3), 3))
+
+    def pack(a):
+        return a.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+    got = fused_attention_packed(pack(q), pack(k), pack(v), heads=H,
+                                 interpret=True)
+    want = pack(xla_attention(q, k, v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
