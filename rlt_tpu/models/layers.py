@@ -271,6 +271,43 @@ class SelfAttention(nn.Module):
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
         head_dim = d // self.n_head
 
+        rng = None
+        rate = self.dropout if dropout_rate is None else dropout_rate
+        if not deterministic and (isinstance(rate, jax.Array) or rate > 0.0):
+            rng = self.make_rng("dropout")
+        out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))
+        out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
+
+        from rlt_tpu.ops.attention import PALLAS_MIN_SEQ_LEN, fused_attention_packed
+
+        if (self.use_pallas and d == 128
+                and x.shape[1] >= PALLAS_MIN_SEQ_LEN
+                and not isinstance(rate, jax.Array)
+                # RLT_ATTN_PACKED=0 falls back to the per-slice kernel
+                # (controlled A/B re-measurement, like RLT_LSTM_FUSE_BIDIR)
+                and os.environ.get("RLT_ATTN_PACKED", "1") == "1"):
+            # Head-packed path for thin heads (H*dh = 128, e.g. Choopy's
+            # 8 x dh=16): torch's in_proj rows are head-major, so the RAW
+            # projection output (B, L, D) is already the packed layout —
+            # no head split at all, and the packed kernel runs every head's
+            # scores as one full-depth matmul (measured 1.6x over the
+            # per-slice kernel at L=300, RESULTS_attention_packed.json).
+            qp = jnp.einsum("bld,ed->ble", x, in_proj_w[:d]) + in_proj_b[:d]
+            kp = (jnp.einsum("bld,ed->ble", x, in_proj_w[d:2 * d])
+                  + in_proj_b[d:2 * d])
+            vp = (jnp.einsum("bld,ed->ble", x, in_proj_w[2 * d:])
+                  + in_proj_b[2 * d:])
+            eff_rate = 0.0 if deterministic else rate
+            seed = None
+            if eff_rate > 0.0:
+                seed = jax.random.randint(
+                    rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            attn_p = fused_attention_packed(
+                qp, kp, vp, heads=self.n_head, dropout_rate=eff_rate,
+                seed=seed)
+            # concat_heads is the identity in the packed layout
+            return jnp.einsum("ble,de->bld", attn_p, out_w) + out_b
+
         # Project straight into the head-major (B, H, L, dh) layout the
         # attention op consumes: einsum folds the head split + transpose into
         # the projection matmul's OUTPUT layout. The former split+transpose
@@ -285,10 +322,6 @@ class SelfAttention(nn.Module):
         k = jnp.einsum("bld,hkd->bhlk", x, w3[1]) + b3[1]
         v = jnp.einsum("bld,hkd->bhlk", x, w3[2]) + b3[2]
 
-        rng = None
-        rate = self.dropout if dropout_rate is None else dropout_rate
-        if not deterministic and (isinstance(rate, jax.Array) or rate > 0.0):
-            rng = self.make_rng("dropout")
         attn = multi_head_attention(
             q, k, v,
             dropout_rate=0.0 if deterministic else rate,
@@ -297,8 +330,6 @@ class SelfAttention(nn.Module):
             # so it serves the training path too
             use_pallas=self.use_pallas,
         )
-        out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))
-        out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
         # out = concat_heads(attn) @ out_w.T, with the head concat absorbed
         # into the contraction (torch out_proj columns are head-major)
         return jnp.einsum("bhlk,dhk->bld",

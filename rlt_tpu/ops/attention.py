@@ -291,58 +291,225 @@ def fused_attention(
 # matmuls per slice — measured either way (VERDICT r3 ask #4).
 # ---------------------------------------------------------------------------
 
-def _attn_fwd_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                            heads: int):
-    g_dim, seq_len, d = q_ref.shape
+def _packed_consts(heads: int, seq_len: int, d: int):
+    """Kernel-internal indicator matrices for the packed layout (all built
+    from iotas — no HBM operands):
+    * mask (H*L, D): row block h nonzero only in feature cols [h*dh,(h+1)dh)
+    * seg (H*L, H) / seg_t (H, H*L): score-column -> head indicators
+    * fold (L, H*L): fold[j, r] = (r mod L == j), collapses the H row blocks
+      of an (H*L, D) gradient back onto (L, D) by matmul."""
     dh = d // heads
-    # head-block mask: row block h of Kbig/Vbig is nonzero only in feature
-    # columns [h*dh, (h+1)*dh)
     rows = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 1)
     mask = ((rows // seq_len) == (cols // dh)).astype(jnp.float32)
+    seg = (jax.lax.broadcasted_iota(
+        jnp.int32, (heads * seq_len, heads), 0) // seq_len
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (heads * seq_len, heads), 1)).astype(jnp.float32)
+    seg_t = (jax.lax.broadcasted_iota(
+        jnp.int32, (heads, heads * seq_len), 0)
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (heads, heads * seq_len), 1) // seq_len
+    ).astype(jnp.float32)
+    fold = (jax.lax.broadcasted_iota(
+        jnp.int32, (seq_len, heads * seq_len), 1) % seq_len
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (seq_len, heads * seq_len), 0)).astype(jnp.float32)
+    return mask, seg, seg_t, fold
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _attn_fwd_packed_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                            *, scale: float, heads: int, dropout_rate: float):
+    g_dim, seq_len, d = q_ref.shape
+    mask, seg, seg_t, _ = _packed_consts(heads, seq_len, d)
     for g in range(g_dim):
         q = q_ref[g].astype(jnp.float32)  # (L, D) head-packed
         k = k_ref[g].astype(jnp.float32)
         v = v_ref[g].astype(jnp.float32)
         kbig = jnp.tile(k, (heads, 1)) * mask  # (H*L, D)
         vbig = jnp.tile(v, (heads, 1)) * mask
-        s = jax.lax.dot_general(  # (L, H*L), one 128-deep contraction
+        s = jax.lax.dot_general(  # (L, H*L), one full-depth contraction
             q, kbig, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        s3 = s.reshape(seq_len, heads, seq_len)
-        m = jnp.max(s3, axis=-1, keepdims=True)
-        e = jnp.exp(s3 - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(
-            seq_len, heads * seq_len)
-        o_ref[g] = jnp.dot(
-            p, vbig, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # segment softmax without a (L, H, L) reshape (Mosaic cannot split
+        # the lane dim when L is not a multiple of 128): subtract the GLOBAL
+        # row max (a superset of each head's max — equally stabilizing, and
+        # it cancels in the ratio), then build each head's denominator with
+        # the segment-indicator matmul pair e @ seg @ seg_t
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        sums = _mm(e, seg)  # (L, H) per-head denominators
+        p = e / _mm(sums, seg_t)
+        if dropout_rate > 0.0:
+            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        o_ref[g] = _mm(p, vbig).astype(o_ref.dtype)
+        lse_ref[g] = (m + jnp.log(sums)).astype(jnp.float32)  # (L, H)
 
 
-def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
-                           heads: int, interpret: bool = False) -> jax.Array:
-    """Head-packed fused attention, eval path. q, k, v: (B, L, D) with the
-    H heads CONTIGUOUS in the feature dim (D = H*dh — the projection
-    output's natural layout, no head split) -> (B, L, D)."""
-    batch, seq_len, d = q.shape
-    if d % heads:
-        raise ValueError(f"feature dim {d} not divisible by heads={heads}")
-    scale = 1.0 / math.sqrt(d // heads)
+def _attn_bwd_packed_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
+                            lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
+                            heads: int, dropout_rate: float):
+    """Packed flash-style backward: recompute p from (q, kbig, lse); the
+    per-head delta = rowsum_h(do * o) comes from the feature-segment matmul
+    and absorbs the dropout mask exactly (as in _attn_bwd_kernel). dk/dv
+    row-block gradients fold back onto (L, D) with the `fold` indicator
+    matmul; the block mask zeroes the cross-head terms first."""
+    g_dim, seq_len, d = q_ref.shape
+    dh = d // heads
+    mask, seg, seg_t, fold = _packed_consts(heads, seq_len, d)
+    featseg = (jax.lax.broadcasted_iota(jnp.int32, (d, heads), 0) // dh
+               == jax.lax.broadcasted_iota(jnp.int32, (d, heads), 1)
+               ).astype(jnp.float32)
+    for g in range(g_dim):
+        q = q_ref[g].astype(jnp.float32)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        o = o_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)
+        lse = lse_ref[g]  # (L, H)
+        kbig = jnp.tile(k, (heads, 1)) * mask
+        vbig = jnp.tile(v, (heads, 1)) * mask
+        s = jax.lax.dot_general(
+            q, kbig, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        p = jnp.exp(s - _mm(lse, seg_t))  # pre-dropout probs (L, H*L)
+        dpd = jax.lax.dot_general(  # do @ vbig^T: (L, H*L), full depth
+            do, vbig, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dpd * inv, 0.0)
+        else:
+            pd, dp = p, dpd
+        delta = _mm(do * o, featseg)  # (L, H) per-head rowsum(do*o)
+        ds = p * (dp - _mm(delta, seg_t)) * scale  # (L, H*L)
+        dq_ref[g] = _mm(ds, kbig).astype(dq_ref.dtype)
+        dk_full = jax.lax.dot_general(  # ds^T @ q -> (H*L, D) row blocks
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[g] = _mm(fold, dk_full * mask).astype(dk_ref.dtype)
+        dv_full = jax.lax.dot_general(  # pd^T @ do
+            pd, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_ref[g] = _mm(fold, dv_full * mask).astype(dv_ref.dtype)
+
+
+def _packed_specs(seq_len: int, d: int, heads: int):
+    stream_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_attn_fwd_packed_kernel, scale=scale, heads=heads),
+    lse = pl.BlockSpec((1, seq_len, heads), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return stream_spec, mat, lse
+
+
+def _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed):
+    batch, seq_len, d = q.shape
+    scale = 1.0 / math.sqrt(d // heads)
+    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads)
+    o, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_packed_kernel, scale=scale, heads=heads,
+                          dropout_rate=dropout_rate),
         grid=(batch,),
-        in_specs=[mat, mat, mat],
-        out_specs=mat,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        in_specs=[stream_spec, mat, mat, mat],
+        out_specs=(mat, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((batch, seq_len, heads), jnp.float32),
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * batch * seq_len * heads * seq_len * d,
             bytes_accessed=4 * batch * seq_len * d * 4,
             transcendentals=batch * heads * seq_len * seq_len,
         ),
-    )(q, k, v)
+    )(_streams(seed, batch), q, k, v)
+    return o, lse
+
+
+def _bwd_packed(dropout_rate, interpret, heads, q, k, v, o, lse, do, seed):
+    batch, seq_len, d = q.shape
+    scale = 1.0 / math.sqrt(d // heads)
+    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_packed_kernel, scale=scale, heads=heads,
+                          dropout_rate=dropout_rate),
+        grid=(batch,),
+        in_specs=[stream_spec, mat, mat, mat, mat, mat, lse_spec],
+        out_specs=(mat, mat, mat),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * batch * seq_len * heads * seq_len * d,
+            bytes_accessed=9 * batch * seq_len * d * 4,
+            transcendentals=batch * heads * seq_len * seq_len,
+        ),
+    )(_streams(seed, batch), q, k, v, o, do, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_attention_packed(dropout_rate, interpret, heads, q, k, v, seed):
+    o, _ = _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed)
+    return o
+
+
+def _fused_attention_packed_fwd(dropout_rate, interpret, heads, q, k, v, seed):
+    o, lse = _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed)
+    return o, (q, k, v, o, lse, seed)
+
+
+def _fused_attention_packed_bwd(dropout_rate, interpret, heads, res, g):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _bwd_packed(dropout_rate, interpret, heads, q, k, v, o, lse,
+                             g, seed)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dseed
+
+
+_fused_attention_packed.defvjp(_fused_attention_packed_fwd,
+                               _fused_attention_packed_bwd)
+
+
+def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           heads: int, dropout_rate: float = 0.0,
+                           seed: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Head-packed fused attention. q, k, v: (B, L, D) with the H heads
+    CONTIGUOUS in the feature dim (D = H*dh — the projection output's
+    natural torch in_proj layout, no head split) -> (B, L, D).
+
+    Differentiable (flash-style custom_vjp; per-(batch) in-kernel dropout
+    streams regenerated in the backward). Measured 1.6x over the per-slice
+    fused kernel at Choopy's (63, 8, 300, 16) despite H x the MACs — the
+    depth-16 matmuls were overhead-bound, the zero-padded full-depth
+    contractions are not (RESULTS_attention_packed.json)."""
+    if dropout_rate > 0.0 and seed is None:
+        raise ValueError("fused_attention_packed: dropout needs a seed")
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    batch, seq_len, d = q.shape
+    if d % heads:
+        raise ValueError(f"feature dim {d} not divisible by heads={heads}")
+    return _fused_attention_packed(float(dropout_rate), bool(interpret),
+                                   int(heads), q, k, v, seed)
 
 
 def xla_attention(

@@ -112,21 +112,45 @@ def main():
                 lambda q, k, v: fused_attention(q, k, v))
             cases[("fwd", "xla")] = jax.jit(
                 lambda q, k, v: xla_attention(q, k, v))
+            cases[("fwdbwd", "pallas")] = jax.jit(jax.grad(
+                lambda q, k, v: jnp.sum(fused_attention(q, k, v) * w),
+                argnums=(0, 1, 2)))
+            cases[("fwdbwd", "xla")] = jax.jit(jax.grad(
+                lambda q, k, v: jnp.sum(xla_attention(q, k, v) * w),
+                argnums=(0, 1, 2)))
+            cases[("fwdbwd_dropout", "pallas")] = jax.jit(jax.grad(
+                lambda q, k, v: jnp.sum(fused_attention(
+                    q, k, v, dropout_rate=DROPOUT, seed=seed) * w),
+                argnums=(0, 1, 2)))
         if shape[1] * shape[3] == 128:
             # head-packed variant (VERDICT r3 ask #4): packed (B, L, 128)
             # layout, H full-depth-contraction matmuls traded for H x MACs
             bsz, heads, sl, dh = shape
-            pk, pv = (a.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
-                      for a in (k, v))
-            packed_fn = jax.jit(functools.partial(
-                fused_attention_packed, heads=heads))
-            ms = timeit(packed_fn,
-                        q.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh),
-                        pk, pv)
-            records.append({"shape_name": name, "shape": list(shape),
-                            "mode": "fwd", "path": "packed",
-                            "ms": round(ms, 4)})
-            print(f"{name:18s} {'fwd':15s} packed {ms:8.3f} ms")
+            pq, pk, pv = (a.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
+                          for a in (q, k, v))
+            pw = w.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
+            packed_cases = {
+                "fwd": jax.jit(functools.partial(
+                    fused_attention_packed, heads=heads)),
+                "fwd_dropout": jax.jit(functools.partial(
+                    fused_attention_packed, heads=heads,
+                    dropout_rate=DROPOUT, seed=seed)),
+                "fwdbwd": jax.jit(jax.grad(
+                    lambda q, k, v: jnp.sum(
+                        fused_attention_packed(q, k, v, heads=heads) * pw),
+                    argnums=(0, 1, 2))),
+                "fwdbwd_dropout": jax.jit(jax.grad(
+                    lambda q, k, v: jnp.sum(fused_attention_packed(
+                        q, k, v, heads=heads, dropout_rate=DROPOUT,
+                        seed=seed) * pw),
+                    argnums=(0, 1, 2))),
+            }
+            for mode, fn in packed_cases.items():
+                ms = timeit(fn, pq, pk, pv)
+                records.append({"shape_name": name, "shape": list(shape),
+                                "mode": mode, "path": "packed",
+                                "ms": round(ms, 4)})
+                print(f"{name:18s} {mode:15s} packed {ms:8.3f} ms")
         if args.packed_only:
             by_mode = {}
             for (mode, path), fn in cases.items():

@@ -212,3 +212,89 @@ def test_packed_matches_xla_eval():
     want = pack(xla_attention(q, k, v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_packed_backward_matches_xla_autodiff():
+    import jax
+
+    from rlt_tpu.ops.attention import fused_attention_packed, xla_attention
+
+    B, H, L, dh = 2, 8, 32, 16
+    q, k, v = (jax.random.normal(kk, (B, H, L, dh), jnp.float32)
+               for kk in jax.random.split(jax.random.PRNGKey(5), 3))
+    w = jax.random.normal(jax.random.PRNGKey(6), (B, L, H * dh), jnp.float32)
+
+    def pack(a):
+        return a.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+    def unpack(a):
+        return a.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+    g_p = jax.grad(
+        lambda q, k, v: jnp.sum(fused_attention_packed(
+            q, k, v, heads=H, interpret=True) * w),
+        argnums=(0, 1, 2))(pack(q), pack(k), pack(v))
+    g_x = jax.grad(
+        lambda q, k, v: jnp.sum(xla_attention(q, k, v) * unpack(w)),
+        argnums=(0, 1, 2))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(pack(gx)),
+                                   atol=2e-5, err_msg=f"d{name}")
+
+
+def _ref_packed_dropout(qp, kp, vp, heads, rate, seed):
+    """Mask-exact reference: per-head XLA softmax assembled into the packed
+    (L, H*L) score layout, the kernel's keep_mask applied, blocks multiplied
+    back out — pure jnp, no pallas."""
+    from rlt_tpu.ops.attention import keep_mask
+
+    B, L, D = qp.shape
+    dh = D // heads
+    outs = []
+    for g in range(B):
+        p_blocks = []
+        for h in range(heads):
+            qh = qp[g, :, h * dh:(h + 1) * dh]
+            kh = kp[g, :, h * dh:(h + 1) * dh]
+            s = qh @ kh.T / np.sqrt(dh)
+            p_blocks.append(jax.nn.softmax(s, axis=-1))
+        p = jnp.concatenate(p_blocks, axis=1)  # (L, H*L)
+        keep = keep_mask(jnp.asarray(seed + g, jnp.int32), p.shape, rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        o_blocks = [p[:, h * L:(h + 1) * L] @ vp[g, :, h * dh:(h + 1) * dh]
+                    for h in range(heads)]
+        outs.append(jnp.concatenate(o_blocks, axis=1))
+    return jnp.stack(outs)
+
+
+def test_packed_dropout_fwd_and_bwd_mask_exact():
+    """Packed in-kernel dropout: forward matches the mask-exact reference,
+    and the backward regenerates the identical mask (grad match)."""
+    import jax
+
+    from rlt_tpu.ops.attention import fused_attention_packed
+
+    B, H, L, dh = 2, 4, 24, 32  # D = 128
+    qp, kp, vp = (jax.random.normal(kk, (B, L, H * dh), jnp.float32)
+                  for kk in jax.random.split(jax.random.PRNGKey(8), 3))
+    rate, seed = 0.3, 321
+    w = jax.random.normal(jax.random.PRNGKey(9), qp.shape, jnp.float32)
+    sd = jnp.asarray([seed], jnp.int32)
+
+    out = fused_attention_packed(qp, kp, vp, heads=H, dropout_rate=rate,
+                                 seed=sd, interpret=True)
+    ref = _ref_packed_dropout(qp, kp, vp, H, rate, seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_p = jax.grad(
+        lambda q, k, v: jnp.sum(fused_attention_packed(
+            q, k, v, heads=H, dropout_rate=rate, seed=sd,
+            interpret=True) * w),
+        argnums=(0, 1, 2))(qp, kp, vp)
+    g_r = jax.grad(
+        lambda q, k, v: jnp.sum(_ref_packed_dropout(
+            q, k, v, H, rate, seed) * w),
+        argnums=(0, 1, 2))(qp, kp, vp)
+    for gp, gr, name in zip(g_p, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=2e-5, err_msg=f"d{name}")
