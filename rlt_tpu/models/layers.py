@@ -28,6 +28,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from rlt_tpu.ops.attention import multi_head_attention
@@ -99,6 +100,61 @@ class Dropout(nn.Module):
         thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
         mask = bits < thresh.astype(jnp.uint16)
         return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# relu+dropout with an output-residual custom vjp (FFN hot path)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _relu_dropout(x, mask, keep):
+    return jnp.where(mask, jax.nn.relu(x) / keep, jnp.zeros((), x.dtype))
+
+
+def _relu_dropout_fwd(x, mask, keep):
+    h = _relu_dropout(x, mask, keep)
+    return h, (h, keep)
+
+
+def _relu_dropout_bwd(res, g):
+    h, keep = res
+    # d/dx [relu(x)·mask/keep] = (x>0 AND kept)/keep = (h>0)/keep exactly:
+    # kept positives give h = x/keep > 0, dropped or negative give h = 0.
+    dx = jnp.where(h > 0, g / keep, jnp.zeros((), g.dtype))
+    return dx, np.zeros(h.shape, dtype=jax.dtypes.float0), jnp.zeros_like(keep)
+
+
+_relu_dropout.defvjp(_relu_dropout_fwd, _relu_dropout_bwd)
+
+
+class ReluDropout(nn.Module):
+    """relu followed by Dropout (same bitstream), with a custom vjp whose only
+    residual is the OUTPUT h — which XLA must keep anyway as the next
+    matmul's forward operand.
+
+    Why: the round-4 per-op roofline of the mmoecut bf16 epoch
+    (scripts/roofline.py, RESULTS.md) showed XLA stashing TWO packed u8 mask
+    tensors per expert-FFN activation for the backward — the (63,300,2048)
+    relu sign masks and the dropout keep masks, 2.9 ms/epoch of pure
+    bit-packing traffic on a 44 ms epoch. Both stashes are redundant given h:
+    dx = g·(h>0)/keep reproduces autodiff's g·mask/keep·(x>0) bit-for-bit
+    (kept positives have h = x/keep > 0; dropped or negative have h = 0, and
+    relu' at 0 is 0 on both paths). Reference FFN site: torch
+    TransformerEncoderLayer relu+dropout, used by every attention model
+    (AttnCut.py:10-11, MMOECut.py:6-14, Choopy.py:12)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, rate=None):
+        r = self.rate if rate is None else rate
+        if deterministic or (not isinstance(r, jax.Array) and r == 0.0):
+            return nn.relu(x)
+        keep = 1.0 - r
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
+        mask = bits < thresh.astype(jnp.uint16)
+        return _relu_dropout(x, mask, keep)
 
 
 # ---------------------------------------------------------------------------
@@ -350,14 +406,19 @@ class TransformerEncoderLayer(nn.Module):
         attn = SelfAttention(
             self.d_model, self.n_head, self.dropout, self.use_pallas, name="self_attn"
         )(x, deterministic, dropout_rate)
-        attn = Dropout(self.dropout)(attn, deterministic, dropout_rate)
+        attn = Dropout(self.dropout, name="Dropout_0")(attn, deterministic,
+                                                       dropout_rate)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
 
         h = TorchLinear(self.dim_feedforward, name="linear1")(x)
-        h = nn.relu(h)
-        h = Dropout(self.dropout)(h, deterministic, dropout_rate)
+        # relu+dropout fused into one output-residual vjp; the explicit
+        # "Dropout_1" name keeps the rng fold path (and therefore every
+        # dropout bitstream in the zoo) identical to the pre-fusion build
+        h = ReluDropout(self.dropout, name="Dropout_1")(h, deterministic,
+                                                        dropout_rate)
         h = TorchLinear(self.d_model, name="linear2")(h)
-        h = Dropout(self.dropout)(h, deterministic, dropout_rate)
+        h = Dropout(self.dropout, name="Dropout_2")(h, deterministic,
+                                                    dropout_rate)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 

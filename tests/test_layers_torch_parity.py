@@ -110,3 +110,44 @@ def test_bicut_init_distribution_matches_torch():
             assert abs(v.mean()) < 0.15 * bound, name
             # genuinely uniform, not gaussian-clipped: mass near the edges
             assert (np.abs(v) > 0.9 * bound).mean() > 0.05, name
+
+
+def test_relu_dropout_bit_identical_to_composition():
+    """ReluDropout (output-residual custom vjp, layers.py) must reproduce
+    relu -> Dropout bit-for-bit in fwd AND bwd for both compute dtypes.
+    Same explicit module name => same rng fold path => same mask bits, so
+    this pins that swapping the FFN composition for the fused vjp changed
+    no bitstream anywhere in the zoo (RESULTS.md round-4 roofline)."""
+    from flax import linen as nn
+
+    from rlt_tpu.models.layers import Dropout, ReluDropout
+
+    class Old(nn.Module):
+        @nn.compact
+        def __call__(self, x, det=False):
+            return Dropout(0.1, name="Dropout_1")(nn.relu(x), det)
+
+    class New(nn.Module):
+        @nn.compact
+        def __call__(self, x, det=False):
+            return ReluDropout(0.1, name="Dropout_1")(x, det)
+
+    key = jax.random.PRNGKey(3)
+    x32 = jnp.asarray(np.random.default_rng(5).normal(size=(4, 9, 65)),
+                      jnp.float32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = x32.astype(dtype)
+        fwd_old = Old().apply({}, x, rngs={"dropout": key})
+        fwd_new = New().apply({}, x, rngs={"dropout": key})
+        assert (fwd_old == fwd_new).all()
+
+        def tot(mod, z):
+            return mod.apply({}, z, rngs={"dropout": key}).astype(
+                jnp.float32).sum()
+
+        g_old = jax.grad(lambda z: tot(Old(), z))(x)
+        g_new = jax.grad(lambda z: tot(New(), z))(x)
+        assert (g_old == g_new).all()
+    # deterministic path is plain relu on both
+    assert (Old().apply({}, x32, True, rngs={"dropout": key})
+            == New().apply({}, x32, True, rngs={"dropout": key})).all()
