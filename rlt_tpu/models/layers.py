@@ -68,6 +68,19 @@ def randn_init() -> Callable:
 # Dropout that admits a traced rate (population training)
 # ---------------------------------------------------------------------------
 
+def dropout_keep_mask(rng, shape, keep):
+    """The framework's ONE dropout bitstream: 16 random bits per unit against
+    an integer threshold on the 2^-16 grid. Shared by `Dropout` and
+    `ReluDropout` so the bit-generation scheme cannot silently diverge between
+    them — checkpoint/population reproducibility relies on both consuming the
+    identical stream for a given rng (advisor r4). `keep` may be traced
+    (population training); the clamp keeps a traced rate of exactly 0
+    meaningful (P(keep) = 65535/65536 — static-0 short-circuits in callers)."""
+    bits = jax.random.bits(rng, shape, jnp.uint16)
+    thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
+    return bits < thresh.astype(jnp.uint16)
+
+
 class Dropout(nn.Module):
     """nn.Dropout whose rate may be overridden at call time by a TRACED
     scalar. flax's nn.Dropout python-branches on ``rate == 0.0``, which fails
@@ -94,11 +107,7 @@ class Dropout(nn.Module):
         if deterministic or (not isinstance(r, jax.Array) and r == 0.0):
             return x
         keep = 1.0 - r
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
-        # threshold on the u16 grid; clamp keeps a traced rate of exactly 0
-        # meaningful (P(keep) = 65535/65536 — the static-0 case exits above)
-        thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
-        mask = bits < thresh.astype(jnp.uint16)
+        mask = dropout_keep_mask(self.make_rng("dropout"), x.shape, keep)
         return jax.lax.select(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -121,6 +130,10 @@ def _relu_dropout_bwd(res, g):
     # d/dx [relu(x)·mask/keep] = (x>0 AND kept)/keep = (h>0)/keep exactly:
     # kept positives give h = x/keep > 0, dropped or negative give h = 0.
     dx = jnp.where(h > 0, g / keep, jnp.zeros((), g.dtype))
+    # keep is BY DESIGN non-differentiable here (zero cotangent): gradients
+    # are only ever taken wrt params. If the traced dropout rate ever becomes
+    # a differentiated hyperparameter, this must return the true -h/keep term
+    # for kept units instead of zeros (advisor r4).
     return dx, np.zeros(h.shape, dtype=jax.dtypes.float0), jnp.zeros_like(keep)
 
 
@@ -151,9 +164,7 @@ class ReluDropout(nn.Module):
         if deterministic or (not isinstance(r, jax.Array) and r == 0.0):
             return nn.relu(x)
         keep = 1.0 - r
-        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
-        thresh = jnp.minimum(jnp.round(keep * 65536.0), 65535.0)
-        mask = bits < thresh.astype(jnp.uint16)
+        mask = dropout_keep_mask(self.make_rng("dropout"), x.shape, keep)
         return _relu_dropout(x, mask, keep)
 
 
@@ -334,20 +345,25 @@ class SelfAttention(nn.Module):
         out_w = self.param("out_proj_weight", kaiming_uniform_linear(d), (d, d))
         out_b = self.param("out_proj_bias", nn.initializers.zeros, (d,))
 
-        from rlt_tpu.ops.attention import PALLAS_MIN_SEQ_LEN, fused_attention_packed
+        from rlt_tpu.ops.attention import (PALLAS_MIN_SEQ_LEN,
+                                           fused_attention_packed,
+                                           packed_group_size)
 
-        if (self.use_pallas and d == 128
+        pack = packed_group_size(d, self.n_head)
+        if (self.use_pallas and pack is not None
                 and x.shape[1] >= PALLAS_MIN_SEQ_LEN
                 and not isinstance(rate, jax.Array)
                 # RLT_ATTN_PACKED=0 falls back to the per-slice kernel
                 # (controlled A/B re-measurement, like RLT_LSTM_FUSE_BIDIR)
                 and os.environ.get("RLT_ATTN_PACKED", "1") == "1"):
-            # Head-packed path for thin heads (H*dh = 128, e.g. Choopy's
-            # 8 x dh=16): torch's in_proj rows are head-major, so the RAW
+            # Head-packed path for thin heads (pack*dh = 128: Choopy's
+            # 8 x dh=16 as one group, AttnCut/MMOECut's 4 x dh=64 as two
+            # 2-head groups): torch's in_proj rows are head-major, so the RAW
             # projection output (B, L, D) is already the packed layout —
-            # no head split at all, and the packed kernel runs every head's
-            # scores as one full-depth matmul (measured 1.6x over the
-            # per-slice kernel at L=300, RESULTS_attention_packed.json).
+            # no head split at all, and the packed kernel runs each group's
+            # scores as one full-depth matmul (dh=16 measured 1.15-1.6x over
+            # the per-slice kernel at L=300, RESULTS_attention_packed.json;
+            # dh=64 measured round 5, RESULTS.md "Head-packed attention").
             qp = jnp.einsum("bld,ed->ble", x, in_proj_w[:d]) + in_proj_b[:d]
             kp = (jnp.einsum("bld,ed->ble", x, in_proj_w[d:2 * d])
                   + in_proj_b[d:2 * d])
@@ -360,7 +376,7 @@ class SelfAttention(nn.Module):
                     rng, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             attn_p = fused_attention_packed(
                 qp, kp, vp, heads=self.n_head, dropout_rate=eff_rate,
-                seed=seed)
+                seed=seed, pack=pack)
             # concat_heads is the identity in the packed layout
             return jnp.einsum("ble,de->bld", attn_p, out_w) + out_b
 

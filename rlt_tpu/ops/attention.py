@@ -22,12 +22,35 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# bf16 inputs keep their dtype INTO the MXU matmuls (f32 accumulation via
+# preferred_element_type) instead of being cast to f32 first — bf16 operands
+# run the MXU at twice the f32 rate, which is the native mode for the bf16
+# production lane (VERDICT r4: the unconditional f32 casts forfeited it).
+# The softmax/LSE statistics stay f32 either way; the only numeric change in
+# the bf16 lane is the flash-standard bf16 rounding of the probability matrix
+# before the PV/dV matmuls. f32 inputs are bit-identical to the round-3
+# kernels (the casts below are no-ops). RLT_ATTN_BF16=0 restores the f32
+# internal math for A/B re-measurement (read at trace time, like
+# RLT_ATTN_PACKED in models/layers.py).
+
+
+def _mxu(x):
+    """Operand dtype policy for kernel-internal matmuls: bf16 stays bf16
+    (full MXU rate, exact products under f32 accumulation), everything else
+    computes in f32."""
+    if (x.dtype == jnp.bfloat16
+            and os.environ.get("RLT_ATTN_BF16", "1") == "1"):
+        return x
+    return x.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -70,13 +93,14 @@ def _attn_fwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     # dominates at small (L, dh) — the per-slice math is unchanged, and each
     # slice keeps its own dropout stream, so masks are grouping-invariant.
     for g in range(q_ref.shape[0]):
-        q = q_ref[g].astype(jnp.float32)  # (L, dh)
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        # q @ k^T without materializing the transpose (NT matmul on the MXU)
+        q = _mxu(q_ref[g])  # (L, dh); bf16 stays bf16 (native MXU rate)
+        k = _mxu(k_ref[g])
+        v = _mxu(v_ref[g])
+        # q @ k^T without materializing the transpose (NT matmul on the MXU);
+        # accumulation is f32 regardless of operand dtype
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (L, L)
+        ) * scale  # (L, L) f32
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -84,7 +108,9 @@ def _attn_fwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         if dropout_rate > 0.0:
             keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
             p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        o_ref[g] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        # flash-standard: probabilities ride the MXU in the operand dtype
+        o_ref[g] = jnp.dot(p.astype(v.dtype), v,
+                           preferred_element_type=jnp.float32).astype(o_ref.dtype)
         lse_ref[g, 0] = (m + jnp.log(denom))[:, 0]
 
 
@@ -95,17 +121,16 @@ def _attn_bwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     dropout mask exactly (delta = sum_j p_j * dp_j for the dropped p too).
     Like the forward, one program covers G slices (leading block dim)."""
     for g in range(q_ref.shape[0]):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        o = o_ref[g].astype(jnp.float32)
-        do = do_ref[g].astype(jnp.float32)
-        lse = lse_ref[g, 0]  # (L,)
+        q = _mxu(q_ref[g])
+        k = _mxu(k_ref[g])
+        v = _mxu(v_ref[g])
+        do = _mxu(do_ref[g])
+        lse = lse_ref[g, 0]  # (L,) f32
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        p = jnp.exp(s - lse[:, None])  # pre-dropout softmax probs
+        p = jnp.exp(s - lse[:, None])  # pre-dropout softmax probs, f32
         dpd = jax.lax.dot_general(  # do @ v^T: grad wrt (post-dropout) probs
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -116,14 +141,18 @@ def _attn_bwd_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             dp = jnp.where(keep, dpd * inv, 0.0)  # chain rule through the mask
         else:
             pd, dp = p, dpd
-        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (L, 1)
-        ds = p * (dp - delta) * scale
+        # delta in f32 on the VPU (elementwise; no MXU rate at stake)
+        delta = jnp.sum(do_ref[g].astype(jnp.float32)
+                        * o_ref[g].astype(jnp.float32),
+                        axis=-1, keepdims=True)  # (L, 1)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dq_ref[g] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
         dk_ref[g] = jax.lax.dot_general(  # ds^T @ q
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(dk_ref.dtype)
         dv_ref[g] = jax.lax.dot_general(  # pd^T @ do
-            pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
         ).astype(dv_ref.dtype)
 
 
@@ -281,40 +310,44 @@ def fused_attention(
 
 
 # ---------------------------------------------------------------------------
-# Head-packed variant for thin heads (H*dh == 128 lanes, e.g. Choopy's
-# 8 x dh=16 — models/Choopy.py:12). One program per batch element: all H
-# heads' scores come from ONE full-depth matmul Q(L,D) @ Kbig(H*L,D)^T where
-# Kbig is the head-block-structured expansion (row block h carries K's
-# feature block h, zeros elsewhere), and the PV product is the mirror-image
-# P(L,H*L) @ Vbig(H*L,D). Trades H x the MAC count (the zero blocks are real
-# work to the MXU) for full 128-deep contractions instead of 2H depth-16
-# matmuls per slice — measured either way (VERDICT r3 ask #4).
+# Head-packed variant for thin heads. One program per batch element; the H
+# heads are processed in GROUPS of `pack` heads whose pack*dh feature columns
+# form one 128-lane contraction depth (e.g. Choopy's 8 x dh=16 as one group
+# of 8 — models/Choopy.py:12 — or AttnCut/MMOECut's 4 x dh=64 as two groups
+# of 2 — models/AttnCut.py:10, MMOECut.py:6-14). Within a group, all pack
+# heads' scores come from ONE full-depth matmul Q_g(L,gd) @ Kbig_g(pack*L,gd)^T
+# where Kbig_g is the head-block-structured expansion (row block h carries
+# K's feature block h, zeros elsewhere), and the PV product is the
+# mirror-image P(L,pack*L) @ Vbig_g(pack*L,gd). Trades pack x the MAC count
+# (the zero blocks are real work to the MXU) for full 128-deep contractions
+# instead of 2H depth-dh matmuls per slice — measured either way (VERDICT r3
+# ask #4 for dh=16; VERDICT r4 ask #2b for dh=64).
 # ---------------------------------------------------------------------------
 
-def _packed_consts(heads: int, seq_len: int, d: int):
-    """Kernel-internal indicator matrices for the packed layout (all built
-    from iotas — no HBM operands):
-    * mask (H*L, D): row block h nonzero only in feature cols [h*dh,(h+1)dh)
-    * seg (H*L, H) / seg_t (H, H*L): score-column -> head indicators
-    * fold (L, H*L): fold[j, r] = (r mod L == j), collapses the H row blocks
-      of an (H*L, D) gradient back onto (L, D) by matmul."""
-    dh = d // heads
-    rows = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (heads * seq_len, d), 1)
+def _packed_consts(pack: int, seq_len: int, gd: int):
+    """Kernel-internal indicator matrices for one head-group of the packed
+    layout (all built from iotas — no HBM operands); gd = pack * dh:
+    * mask (pack*L, gd): row block h nonzero only in feature cols [h*dh,(h+1)dh)
+    * seg (pack*L, pack) / seg_t (pack, pack*L): score-column -> head indicators
+    * fold (L, pack*L): fold[j, r] = (r mod L == j), collapses the pack row
+      blocks of a (pack*L, gd) gradient back onto (L, gd) by matmul."""
+    dh = gd // pack
+    rows = jax.lax.broadcasted_iota(jnp.int32, (pack * seq_len, gd), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (pack * seq_len, gd), 1)
     mask = ((rows // seq_len) == (cols // dh)).astype(jnp.float32)
     seg = (jax.lax.broadcasted_iota(
-        jnp.int32, (heads * seq_len, heads), 0) // seq_len
+        jnp.int32, (pack * seq_len, pack), 0) // seq_len
         == jax.lax.broadcasted_iota(
-            jnp.int32, (heads * seq_len, heads), 1)).astype(jnp.float32)
+            jnp.int32, (pack * seq_len, pack), 1)).astype(jnp.float32)
     seg_t = (jax.lax.broadcasted_iota(
-        jnp.int32, (heads, heads * seq_len), 0)
+        jnp.int32, (pack, pack * seq_len), 0)
         == jax.lax.broadcasted_iota(
-            jnp.int32, (heads, heads * seq_len), 1) // seq_len
+            jnp.int32, (pack, pack * seq_len), 1) // seq_len
     ).astype(jnp.float32)
     fold = (jax.lax.broadcasted_iota(
-        jnp.int32, (seq_len, heads * seq_len), 1) % seq_len
+        jnp.int32, (seq_len, pack * seq_len), 1) % seq_len
         == jax.lax.broadcasted_iota(
-            jnp.int32, (seq_len, heads * seq_len), 0)).astype(jnp.float32)
+            jnp.int32, (seq_len, pack * seq_len), 0)).astype(jnp.float32)
     return mask, seg, seg_t, fold
 
 
@@ -322,117 +355,159 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _group_stream(stream, gi: int):
+    """Independent dropout stream per head-group: group 0 keeps the slice
+    stream verbatim (bit-compatible with the round-4 single-group kernel);
+    later groups decorrelate via a fixed odd-constant offset."""
+    if gi == 0:
+        return stream
+    return stream + jnp.int32(gi * 0x7F4A7C15)
+
+
 def _attn_fwd_packed_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                            *, scale: float, heads: int, dropout_rate: float):
+                            *, scale: float, heads: int, pack: int,
+                            dropout_rate: float):
     g_dim, seq_len, d = q_ref.shape
-    mask, seg, seg_t, _ = _packed_consts(heads, seq_len, d)
+    groups = heads // pack
+    gd = d // groups
+    mask_f32, seg, seg_t, _ = _packed_consts(pack, seq_len, gd)
     for g in range(g_dim):
-        q = q_ref[g].astype(jnp.float32)  # (L, D) head-packed
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        kbig = jnp.tile(k, (heads, 1)) * mask  # (H*L, D)
-        vbig = jnp.tile(v, (heads, 1)) * mask
-        s = jax.lax.dot_general(  # (L, H*L), one full-depth contraction
-            q, kbig, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        # segment softmax without a (L, H, L) reshape (Mosaic cannot split
-        # the lane dim when L is not a multiple of 128): subtract the GLOBAL
-        # row max (a superset of each head's max — equally stabilizing, and
-        # it cancels in the ratio), then build each head's denominator with
-        # the segment-indicator matmul pair e @ seg @ seg_t
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        sums = _mm(e, seg)  # (L, H) per-head denominators
-        p = e / _mm(sums, seg_t)
-        if dropout_rate > 0.0:
-            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
-            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        o_ref[g] = _mm(p, vbig).astype(o_ref.dtype)
-        lse_ref[g] = (m + jnp.log(sums)).astype(jnp.float32)  # (L, H)
+        qfull = _mxu(q_ref[g])  # (L, D) head-packed; bf16 stays bf16
+        kfull = _mxu(k_ref[g])
+        vfull = _mxu(v_ref[g])
+        mask = mask_f32.astype(qfull.dtype)
+        outs, lses = [], []
+        for gi in range(groups):
+            cols = slice(gi * gd, (gi + 1) * gd)
+            q, k, v = qfull[:, cols], kfull[:, cols], vfull[:, cols]
+            kbig = jnp.tile(k, (pack, 1)) * mask  # (pack*L, gd)
+            vbig = jnp.tile(v, (pack, 1)) * mask
+            s = jax.lax.dot_general(  # (L, pack*L), one full-depth contraction
+                q, kbig, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            # segment softmax without a (L, pack, L) reshape (Mosaic cannot
+            # split the lane dim when L is not a multiple of 128): subtract
+            # the GLOBAL row max (a superset of each head's max — equally
+            # stabilizing, and it cancels in the ratio), then build each
+            # head's denominator with the segment-indicator matmul pair
+            # e @ seg @ seg_t
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            sums = _mm(e, seg)  # (L, pack) per-head denominators
+            p = e / _mm(sums, seg_t)
+            if dropout_rate > 0.0:
+                keep = keep_mask(_group_stream(stream_ref[g, 0, 0], gi),
+                                 s.shape, dropout_rate)
+                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            outs.append(_mm(p.astype(vbig.dtype), vbig))
+            lses.append(m + jnp.log(sums))  # (L, pack)
+        o_ref[g] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype) \
+            if groups > 1 else outs[0].astype(o_ref.dtype)
+        lse_ref[g] = jnp.stack(lses).astype(jnp.float32)  # (groups, L, pack)
 
 
 def _attn_bwd_packed_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, do_ref,
                             lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
-                            heads: int, dropout_rate: float):
+                            heads: int, pack: int, dropout_rate: float):
     """Packed flash-style backward: recompute p from (q, kbig, lse); the
     per-head delta = rowsum_h(do * o) comes from the feature-segment matmul
     and absorbs the dropout mask exactly (as in _attn_bwd_kernel). dk/dv
-    row-block gradients fold back onto (L, D) with the `fold` indicator
+    row-block gradients fold back onto (L, gd) with the `fold` indicator
     matmul; the block mask zeroes the cross-head terms first."""
     g_dim, seq_len, d = q_ref.shape
-    dh = d // heads
-    mask, seg, seg_t, fold = _packed_consts(heads, seq_len, d)
-    featseg = (jax.lax.broadcasted_iota(jnp.int32, (d, heads), 0) // dh
-               == jax.lax.broadcasted_iota(jnp.int32, (d, heads), 1)
+    groups = heads // pack
+    gd = d // groups
+    dh = gd // pack
+    mask_f32, seg, seg_t, fold = _packed_consts(pack, seq_len, gd)
+    featseg = (jax.lax.broadcasted_iota(jnp.int32, (gd, pack), 0) // dh
+               == jax.lax.broadcasted_iota(jnp.int32, (gd, pack), 1)
                ).astype(jnp.float32)
     for g in range(g_dim):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-        o = o_ref[g].astype(jnp.float32)
-        do = do_ref[g].astype(jnp.float32)
-        lse = lse_ref[g]  # (L, H)
-        kbig = jnp.tile(k, (heads, 1)) * mask
-        vbig = jnp.tile(v, (heads, 1)) * mask
-        s = jax.lax.dot_general(
-            q, kbig, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        p = jnp.exp(s - _mm(lse, seg_t))  # pre-dropout probs (L, H*L)
-        dpd = jax.lax.dot_general(  # do @ vbig^T: (L, H*L), full depth
-            do, vbig, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if dropout_rate > 0.0:
-            keep = keep_mask(stream_ref[g, 0, 0], s.shape, dropout_rate)
-            inv = 1.0 / (1.0 - dropout_rate)
-            pd = jnp.where(keep, p * inv, 0.0)
-            dp = jnp.where(keep, dpd * inv, 0.0)
-        else:
-            pd, dp = p, dpd
-        delta = _mm(do * o, featseg)  # (L, H) per-head rowsum(do*o)
-        ds = p * (dp - _mm(delta, seg_t)) * scale  # (L, H*L)
-        dq_ref[g] = _mm(ds, kbig).astype(dq_ref.dtype)
-        dk_full = jax.lax.dot_general(  # ds^T @ q -> (H*L, D) row blocks
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_ref[g] = _mm(fold, dk_full * mask).astype(dk_ref.dtype)
-        dv_full = jax.lax.dot_general(  # pd^T @ do
-            pd, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dv_ref[g] = _mm(fold, dv_full * mask).astype(dv_ref.dtype)
+        qfull = _mxu(q_ref[g])
+        kfull = _mxu(k_ref[g])
+        vfull = _mxu(v_ref[g])
+        dofull = _mxu(do_ref[g])
+        ofull_f32 = o_ref[g].astype(jnp.float32)
+        dofull_f32 = do_ref[g].astype(jnp.float32)
+        mask = mask_f32.astype(qfull.dtype)
+        dqs, dks, dvs = [], [], []
+        for gi in range(groups):
+            cols = slice(gi * gd, (gi + 1) * gd)
+            q, k, v, do = (qfull[:, cols], kfull[:, cols], vfull[:, cols],
+                           dofull[:, cols])
+            lse = lse_ref[g, gi]  # (L, pack) f32
+            kbig = jnp.tile(k, (pack, 1)) * mask
+            vbig = jnp.tile(v, (pack, 1)) * mask
+            s = jax.lax.dot_general(
+                q, kbig, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jnp.exp(s - _mm(lse, seg_t))  # pre-dropout probs (L, pack*L)
+            dpd = jax.lax.dot_general(  # do @ vbig^T: (L, pack*L), full depth
+                do, vbig, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dropout_rate > 0.0:
+                keep = keep_mask(_group_stream(stream_ref[g, 0, 0], gi),
+                                 s.shape, dropout_rate)
+                inv = 1.0 / (1.0 - dropout_rate)
+                pd = jnp.where(keep, p * inv, 0.0)
+                dp = jnp.where(keep, dpd * inv, 0.0)
+            else:
+                pd, dp = p, dpd
+            # (L, pack) per-head rowsum(do*o), f32 on the VPU
+            delta = _mm(dofull_f32[:, cols] * ofull_f32[:, cols], featseg)
+            ds = (p * (dp - _mm(delta, seg_t)) * scale).astype(q.dtype)
+            dqs.append(_mm(ds, kbig))
+            dk_full = jax.lax.dot_general(  # ds^T @ q -> (pack*L, gd) blocks
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dks.append(_mm(fold.astype(q.dtype),
+                           (dk_full * mask_f32).astype(q.dtype)))
+            dv_full = jax.lax.dot_general(  # pd^T @ do
+                pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dvs.append(_mm(fold.astype(q.dtype),
+                           (dv_full * mask_f32).astype(q.dtype)))
+        cat = (lambda xs: jnp.concatenate(xs, axis=-1)) if groups > 1 \
+            else (lambda xs: xs[0])
+        dq_ref[g] = cat(dqs).astype(dq_ref.dtype)
+        dk_ref[g] = cat(dks).astype(dk_ref.dtype)
+        dv_ref[g] = cat(dvs).astype(dv_ref.dtype)
 
 
-def _packed_specs(seq_len: int, d: int, heads: int):
+def _packed_specs(seq_len: int, d: int, heads: int, pack: int):
+    groups = heads // pack
     stream_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((1, seq_len, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, seq_len, heads), lambda i: (i, 0, 0),
+    lse = pl.BlockSpec((1, groups, seq_len, pack), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     return stream_spec, mat, lse
 
 
-def _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed):
+def _fwd_packed(dropout_rate, interpret, heads, pack, q, k, v, seed):
     batch, seq_len, d = q.shape
+    groups = heads // pack
     scale = 1.0 / math.sqrt(d // heads)
-    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads)
+    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads, pack)
     o, lse = pl.pallas_call(
         functools.partial(_attn_fwd_packed_kernel, scale=scale, heads=heads,
-                          dropout_rate=dropout_rate),
+                          pack=pack, dropout_rate=dropout_rate),
         grid=(batch,),
         in_specs=[stream_spec, mat, mat, mat],
         out_specs=(mat, lse_spec),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((batch, seq_len, heads), jnp.float32),
+            jax.ShapeDtypeStruct((batch, groups, seq_len, pack), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * batch * seq_len * heads * seq_len * d,
+            flops=2 * 2 * batch * seq_len * seq_len * pack * d,
             bytes_accessed=4 * batch * seq_len * d * 4,
             transcendentals=batch * heads * seq_len * seq_len,
         ),
@@ -440,13 +515,14 @@ def _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed):
     return o, lse
 
 
-def _bwd_packed(dropout_rate, interpret, heads, q, k, v, o, lse, do, seed):
+def _bwd_packed(dropout_rate, interpret, heads, pack, q, k, v, o, lse, do,
+                seed):
     batch, seq_len, d = q.shape
     scale = 1.0 / math.sqrt(d // heads)
-    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads)
+    stream_spec, mat, lse_spec = _packed_specs(seq_len, d, heads, pack)
     return pl.pallas_call(
         functools.partial(_attn_bwd_packed_kernel, scale=scale, heads=heads,
-                          dropout_rate=dropout_rate),
+                          pack=pack, dropout_rate=dropout_rate),
         grid=(batch,),
         in_specs=[stream_spec, mat, mat, mat, mat, mat, lse_spec],
         out_specs=(mat, mat, mat),
@@ -457,28 +533,30 @@ def _bwd_packed(dropout_rate, interpret, heads, q, k, v, o, lse, do, seed):
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * batch * seq_len * heads * seq_len * d,
+            flops=5 * 2 * batch * seq_len * seq_len * pack * d,
             bytes_accessed=9 * batch * seq_len * d * 4,
             transcendentals=batch * heads * seq_len * seq_len,
         ),
     )(_streams(seed, batch), q, k, v, o, do, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_attention_packed(dropout_rate, interpret, heads, q, k, v, seed):
-    o, _ = _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_attention_packed(dropout_rate, interpret, heads, pack, q, k, v,
+                            seed):
+    o, _ = _fwd_packed(dropout_rate, interpret, heads, pack, q, k, v, seed)
     return o
 
 
-def _fused_attention_packed_fwd(dropout_rate, interpret, heads, q, k, v, seed):
-    o, lse = _fwd_packed(dropout_rate, interpret, heads, q, k, v, seed)
+def _fused_attention_packed_fwd(dropout_rate, interpret, heads, pack, q, k, v,
+                                seed):
+    o, lse = _fwd_packed(dropout_rate, interpret, heads, pack, q, k, v, seed)
     return o, (q, k, v, o, lse, seed)
 
 
-def _fused_attention_packed_bwd(dropout_rate, interpret, heads, res, g):
+def _fused_attention_packed_bwd(dropout_rate, interpret, heads, pack, res, g):
     q, k, v, o, lse, seed = res
-    dq, dk, dv = _bwd_packed(dropout_rate, interpret, heads, q, k, v, o, lse,
-                             g, seed)
+    dq, dk, dv = _bwd_packed(dropout_rate, interpret, heads, pack, q, k, v, o,
+                             lse, g, seed)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dseed
 
@@ -487,19 +565,38 @@ _fused_attention_packed.defvjp(_fused_attention_packed_fwd,
                                _fused_attention_packed_bwd)
 
 
+def packed_group_size(d: int, heads: int) -> int | None:
+    """heads-per-group `pack` that makes each packed contraction exactly 128
+    lanes deep (pack * dh == 128), or None when the shape doesn't admit one.
+    dh >= 128 heads are already full-depth — the per-slice kernel handles
+    them without the pack-x MAC overhead."""
+    if d % heads:
+        return None
+    dh = d // heads
+    if dh >= 128 or 128 % dh:
+        return None
+    pack = 128 // dh
+    if heads % pack or d % (heads // pack):
+        return None
+    return pack
+
+
 def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            heads: int, dropout_rate: float = 0.0,
                            seed: jax.Array | None = None,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           pack: int | None = None) -> jax.Array:
     """Head-packed fused attention. q, k, v: (B, L, D) with the H heads
     CONTIGUOUS in the feature dim (D = H*dh — the projection output's
     natural torch in_proj layout, no head split) -> (B, L, D).
 
-    Differentiable (flash-style custom_vjp; per-(batch) in-kernel dropout
-    streams regenerated in the backward). Measured 1.6x over the per-slice
-    fused kernel at Choopy's (63, 8, 300, 16) despite H x the MACs — the
-    depth-16 matmuls were overhead-bound, the zero-padded full-depth
-    contractions are not (RESULTS_attention_packed.json)."""
+    Differentiable (flash-style custom_vjp; per-(batch, head-group)
+    in-kernel dropout streams regenerated in the backward). `pack` heads
+    share one group (default: all of them); pack*dh should be 128 for
+    full-depth contractions (`packed_group_size`). Measured 1.15-1.6x over
+    the per-slice fused kernel at Choopy's (63, 8, 300, 16) despite pack x
+    the MACs — the depth-16 matmuls were overhead-bound, the zero-padded
+    full-depth contractions are not (RESULTS_attention_packed.json)."""
     if dropout_rate > 0.0 and seed is None:
         raise ValueError("fused_attention_packed: dropout needs a seed")
     if seed is None:
@@ -508,8 +605,15 @@ def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     batch, seq_len, d = q.shape
     if d % heads:
         raise ValueError(f"feature dim {d} not divisible by heads={heads}")
+    if pack is None:
+        pack = heads
+    if heads % pack:
+        raise ValueError(f"heads={heads} not divisible by pack={pack}")
+    if d % (heads // pack):
+        raise ValueError(
+            f"feature dim {d} not divisible by {heads // pack} head groups")
     return _fused_attention_packed(float(dropout_rate), bool(interpret),
-                                   int(heads), q, k, v, seed)
+                                   int(heads), int(pack), q, k, v, seed)
 
 
 def xla_attention(

@@ -28,6 +28,7 @@ from rlt_tpu.ops import attention as _attention
 from rlt_tpu.ops.attention import (
     fused_attention,
     fused_attention_packed,
+    packed_group_size,
     xla_attention,
 )
 
@@ -84,6 +85,10 @@ def main():
     ap.add_argument("--packed-only", action="store_true",
                     help="measure only the head-packed variant + fwd "
                          "baselines on 128-lane shapes")
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="operand dtype for every path (bf16 exercises the "
+                         "native-MXU kernel math, VERDICT r4 ask #2a)")
     args = ap.parse_args()
     if args.group:
         _attention._pick_group = lambda n, L, live_mats, _g=args.group: (
@@ -97,12 +102,15 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})")
     records = []
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     for name, shape in SHAPES.items():
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
-        q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+        q, k, v = (jax.random.normal(kk, shape, jnp.float32).astype(dtype)
+                   for kk in ks)
         seed = jnp.asarray([42], jnp.int32)
         rng = jax.random.PRNGKey(7)
-        w = jax.random.normal(jax.random.PRNGKey(9), shape, jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(9), shape,
+                              jnp.float32).astype(dtype)
 
         cases = {}
         if args.packed_only:
@@ -122,26 +130,29 @@ def main():
                 lambda q, k, v: jnp.sum(fused_attention(
                     q, k, v, dropout_rate=DROPOUT, seed=seed) * w),
                 argnums=(0, 1, 2)))
-        if shape[1] * shape[3] == 128:
-            # head-packed variant (VERDICT r3 ask #4): packed (B, L, 128)
-            # layout, H full-depth-contraction matmuls traded for H x MACs
+        pack = packed_group_size(shape[1] * shape[3], shape[1])
+        if pack is not None and shape[2] >= 128:
+            # head-packed variant (VERDICT r3 ask #4; grouped dh=64 packing
+            # r4 ask #2b): packed (B, L, D) layout, per-group full-depth
+            # contraction matmuls traded for pack x MACs
             bsz, heads, sl, dh = shape
             pq, pk, pv = (a.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
                           for a in (q, k, v))
             pw = w.transpose(0, 2, 1, 3).reshape(bsz, sl, heads * dh)
             packed_cases = {
                 "fwd": jax.jit(functools.partial(
-                    fused_attention_packed, heads=heads)),
+                    fused_attention_packed, heads=heads, pack=pack)),
                 "fwd_dropout": jax.jit(functools.partial(
-                    fused_attention_packed, heads=heads,
+                    fused_attention_packed, heads=heads, pack=pack,
                     dropout_rate=DROPOUT, seed=seed)),
                 "fwdbwd": jax.jit(jax.grad(
                     lambda q, k, v: jnp.sum(
-                        fused_attention_packed(q, k, v, heads=heads) * pw),
+                        fused_attention_packed(q, k, v, heads=heads,
+                                               pack=pack) * pw),
                     argnums=(0, 1, 2))),
                 "fwdbwd_dropout": jax.jit(jax.grad(
                     lambda q, k, v: jnp.sum(fused_attention_packed(
-                        q, k, v, heads=heads, dropout_rate=DROPOUT,
+                        q, k, v, heads=heads, pack=pack, dropout_rate=DROPOUT,
                         seed=seed) * pw),
                     argnums=(0, 1, 2))),
             }
@@ -196,9 +207,11 @@ def main():
             if "pallas" in d and "xla" in d:
                 print(f"{name:18s} {mode:15s} speedup xla/pallas = "
                       f"{d['xla'] / d['pallas']:.2f}x")
+    for r in records:
+        r["dtype"] = args.dtype
     with open(args.out, "w") as f:
         json.dump({"device": str(dev.device_kind), "dropout": DROPOUT,
-                   "warmup": WARMUP, "iters": ITERS,
+                   "warmup": WARMUP, "iters": ITERS, "dtype": args.dtype,
                    "forced_group": args.group or None, "records": records}, f,
                   indent=1)
     print(f"wrote {args.out}")

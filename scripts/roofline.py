@@ -72,6 +72,11 @@ def capture(args):
         log_dir="/tmp/rlt_tpu_roofline_runs", epochs=4,
     ))
     cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+    if args.batch_size:
+        # b256-style captures (VERDICT r4 ask #5: the bf16 b256 MFU dip)
+        cfg = dataclasses.replace(cfg, batch_size=args.batch_size)
+    if args.queries:
+        cfg = dataclasses.replace(cfg, synthetic_queries=args.queries)
     trainer = Trainer(cfg)
 
     key = jax.random.PRNGKey(7)
@@ -201,6 +206,8 @@ class HloModule:
         self.sym_bytes = {}      # instr name -> output bytes
         self.comp_dots = {}      # computation name -> [dot dicts]
         self.instr = {}          # instr name -> record
+        self.op_meta = {}        # EVERY instr name -> (opcode, scope)
+        self.comp_scopes = {}    # computation name -> {scopes of its instrs}
         cur = None
         for raw in text.splitlines():
             line = raw.strip()
@@ -226,6 +233,9 @@ class HloModule:
             self.sym_bytes[iname] = _out_bytes(out_seg)
             meta = _META_RE.search(line)
             scope = meta.group(1) if meta else ""
+            self.op_meta[iname] = (opcode, scope)
+            if scope:
+                self.comp_scopes.setdefault(cur, set()).add(scope)
 
             if opcode == "dot":
                 dm = _DOT_RE.search(line)
@@ -330,6 +340,9 @@ class HloModule:
         scopes = sorted({d["scope"] for d in dots if d["scope"]})
         if not scopes and rec.get("scope"):
             scopes = [rec["scope"]]
+        if not scopes and rec.get("calls"):
+            # non-dot fusion: inherit the fused computation's instr scopes
+            scopes = sorted(self.comp_scopes.get(rec["calls"], set()))[:4]
         return flops, frac, hbm, scopes, len(dots), rec.get("target", "")
 
 
@@ -377,24 +390,49 @@ def load_device_ops(profile_dir: str):
 # analyze
 # ---------------------------------------------------------------------------
 
-def _label(name, scopes, target):
-    """Human attribution from the instruction name + jax scope paths."""
+def _label(name, scopes, target, opcode=""):
+    """Human attribution from the instruction name + jax scope paths, with an
+    opcode-category fallback so no op lands in 'ungrouped' without at least a
+    structural classification (VERDICT r4 ask #4: 33% of the epoch was
+    unattributed)."""
     text = name + " " + " ".join(scopes) + " " + (target or "")
     rules = [
         (r"self_attn", "attention"),
         (r"pre_encoding|lstm", "LSTM"),
         (r"linear1|linear2|experts", "expert FFN"),
         (r"gate", "MMOE gates"),
-        (r"tower|classi|rerank|decison", "towers"),
+        (r"tower|classi|rerank|decision", "towers"),
         (r"rng-bit|threefry|rbg|random_bits", "rng bits"),
         (r"^copy\.", "layout copy"),
         (r"tpu_custom_call", "pallas kernel"),
-        (r"adam|scale_by|apply_updates", "optimizer"),
+        (r"adam|scale_by|apply_updates|weight_decay|inject", "optimizer"),
         (r"layer_norm|norm", "layernorm"),
-        (r"softmax|logits|reward|metric", "loss/metrics"),
+        (r"softmax|logits|reward|metric|loss|cumsum|f1|dcg", "loss/metrics"),
+        (r"permutation|shuffle|batch_plan|take|sort", "batch plan"),
+        (r"transpose|bitcast", "layout copy"),
     ]
     for pat, lab in rules:
         if re.search(pat, text, re.I):
+            return lab
+    # opcode-category fallback (structural attribution, not model-level)
+    op = opcode or name.split(".")[0]
+    fallback = [
+        (r"dynamic-update-slice|dynamic-slice|^slice|concatenate|pad|reshape",
+         "scan/slice plumbing"),
+        (r"gather|scatter", "gather/scatter"),
+        (r"reduce", "reduction"),
+        (r"convert", "dtype convert"),
+        (r"copy|transpose|bitcast", "layout copy"),
+        (r"rng|random", "rng bits"),
+        (r"iota|constant|broadcast", "materialize"),
+        (r"add|multiply|subtract|divide|select|compare|maximum|minimum|exp|"
+         r"log|tanh|logistic|and|or|xor|not|abs|sign|floor|ceil|clamp",
+         "elementwise"),
+        (r"all-reduce|all-gather|collective|reduce-scatter", "collective"),
+        (r"fusion", "misc fusion"),
+    ]
+    for pat, lab in fallback:
+        if re.search(pat, op, re.I):
             return lab
     return ""
 
@@ -417,6 +455,9 @@ def analyze(args):
         ms_per_epoch = ps / 1e9 / dispatches
         total_ms += ms_per_epoch
         flops, frac, hbm, scopes, ndots, target = hlo.op_profile(base)
+        opcode, own_scope = hlo.op_meta.get(base, ("", ""))
+        if not scopes and own_scope:
+            scopes = [own_scope]
         execs_per_epoch = count / dispatches
         fl_epoch = flops * execs_per_epoch
         compute_floor_ms = fl_epoch / (peak * frac) * 1e3 if fl_epoch else 0.0
@@ -424,7 +465,7 @@ def analyze(args):
         floor_ms = max(compute_floor_ms, hbm_floor_ms)
         achieved = fl_epoch / (ms_per_epoch / 1e3) if ms_per_epoch > 0 else 0.0
         rows.append({
-            "op": base, "label": _label(base, scopes, target),
+            "op": base, "label": _label(base, scopes, target, opcode),
             "execs_per_epoch": execs_per_epoch,
             "ms_per_epoch": round(ms_per_epoch, 4),
             "gflops_per_epoch": round(fl_epoch / 1e9, 3),
@@ -444,13 +485,19 @@ def analyze(args):
 
     groups = {}
     for r in rows:
-        g = groups.setdefault(r["label"] or "ungrouped", [0.0, 0.0, 0])
+        g = groups.setdefault(r["label"] or "ungrouped", [0.0, 0.0, 0, []])
         g[0] += r["ms_per_epoch"]
         g[1] += r["gflops_per_epoch"]
         g[2] += 1
+        g[3].append(r)
     group_rows = sorted(
         ({"label": k, "ms": round(v[0], 3), "gflops": round(v[1], 2),
-          "ops": v[2]} for k, v in groups.items()),
+          "ops": v[2],
+          # top members by time, so no group is a black box (r4 ask #4)
+          "top": [{"op": m["op"], "ms": m["ms_per_epoch"],
+                   "x": m["execs_per_epoch"], "scopes": m["scopes"][:2]}
+                  for m in sorted(v[3], key=lambda m: -m["ms_per_epoch"])[:6]]}
+         for k, v in groups.items()),
         key=lambda g: -g["ms"])
 
     out = {
@@ -491,6 +538,8 @@ def main(argv=None):
     pc.add_argument("--model", default="mmoecut")
     pc.add_argument("--dtype", default="bfloat16")
     pc.add_argument("--dispatches", type=int, default=10)
+    pc.add_argument("--batch-size", type=int, default=0)
+    pc.add_argument("--queries", type=int, default=0)
     pc.add_argument("--dir", default="/tmp/rlt_roofline")
     pa = sub.add_parser("analyze")
     pa.add_argument("--dir", default="/tmp/rlt_roofline")

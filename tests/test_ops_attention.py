@@ -242,6 +242,170 @@ def test_packed_backward_matches_xla_autodiff():
                                    atol=2e-5, err_msg=f"d{name}")
 
 
+def test_packed_group_size():
+    from rlt_tpu.ops.attention import packed_group_size
+
+    assert packed_group_size(128, 8) == 8      # Choopy: 8 x dh=16, one group
+    assert packed_group_size(256, 4) == 2      # AttnCut/MMOE: 4 x dh=64, two groups
+    assert packed_group_size(256, 2) is None   # dh=128 already full depth
+    assert packed_group_size(256, 8) == 4      # dh=32 -> groups of 4
+    assert packed_group_size(100, 4) is None   # dh=25 does not divide 128
+    assert packed_group_size(130, 4) is None   # d not divisible by heads
+
+
+@pytest.mark.parametrize("H,dh,pack", [(4, 16, 2), (4, 32, 4), (8, 8, 4),
+                                       (4, 64, 2)])
+def test_packed_groups_match_xla(H, dh, pack):
+    """Grouped packing (pack < heads, VERDICT r4 ask #2b): each head-group's
+    block-structured contraction must reproduce per-head attention exactly,
+    forward and backward."""
+    from rlt_tpu.ops.attention import fused_attention_packed, xla_attention
+
+    B, L = 2, 24
+    q, k, v = (jax.random.normal(kk, (B, H, L, dh), jnp.float32)
+               for kk in jax.random.split(jax.random.PRNGKey(13), 3))
+    w = jax.random.normal(jax.random.PRNGKey(14), (B, L, H * dh), jnp.float32)
+
+    def packf(a):
+        return a.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+    def unpack(a):
+        return a.reshape(B, L, H, dh).transpose(0, 2, 1, 3)
+
+    got = fused_attention_packed(packf(q), packf(k), packf(v), heads=H,
+                                 pack=pack, interpret=True)
+    want = packf(xla_attention(q, k, v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    g_p = jax.grad(
+        lambda q, k, v: jnp.sum(fused_attention_packed(
+            q, k, v, heads=H, pack=pack, interpret=True) * w),
+        argnums=(0, 1, 2))(packf(q), packf(k), packf(v))
+    g_x = jax.grad(
+        lambda q, k, v: jnp.sum(xla_attention(q, k, v) * unpack(w)),
+        argnums=(0, 1, 2))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(packf(gx)),
+                                   atol=2e-5, err_msg=f"d{name}")
+
+
+def test_packed_groups_dropout_streams_decorrelated():
+    """With pack < heads the groups must draw INDEPENDENT dropout bits
+    (group 0 keeps the round-4 stream; later groups offset): identical seeds
+    reproduce, and the two groups' realized masks differ."""
+    from rlt_tpu.ops.attention import fused_attention_packed
+
+    B, H, L, dh = 1, 4, 24, 16
+    qp, kp, vp = (jax.random.normal(kk, (B, L, H * dh), jnp.float32)
+                  for kk in jax.random.split(jax.random.PRNGKey(15), 3))
+    sd = jnp.asarray([42], jnp.int32)
+    a = fused_attention_packed(qp, kp, vp, heads=H, pack=2, dropout_rate=0.5,
+                               seed=sd, interpret=True)
+    b = fused_attention_packed(qp, kp, vp, heads=H, pack=2, dropout_rate=0.5,
+                               seed=sd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mask-exact grouped reference: group gi draws from the OFFSET stream
+    from rlt_tpu.ops.attention import _group_stream, keep_mask
+
+    rate, dh_g = 0.5, 2 * dh  # gd = pack*dh feature cols per group
+    outs = []
+    for g in range(B):
+        group_outs = []
+        for gi in range(2):
+            cols = slice(gi * dh_g, (gi + 1) * dh_g)
+            p_blocks = []
+            for h in range(2):
+                c = slice((2 * gi + h) * dh, (2 * gi + h + 1) * dh)
+                s = qp[g, :, c] @ kp[g, :, c].T / np.sqrt(dh)
+                p_blocks.append(jax.nn.softmax(s, axis=-1))
+            p = jnp.concatenate(p_blocks, axis=1)  # (L, pack*L)
+            keep = keep_mask(_group_stream(jnp.asarray(42 + g, jnp.int32), gi),
+                             p.shape, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+            o_blocks = [
+                p[:, h * L:(h + 1) * L] @ vp[g, :, (2 * gi + h) * dh:
+                                              (2 * gi + h + 1) * dh]
+                for h in range(2)]
+            group_outs.append(jnp.concatenate(o_blocks, axis=1))
+        outs.append(jnp.concatenate(group_outs, axis=1))
+    ref = jnp.stack(outs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref), atol=1e-5)
+
+    # the two groups' bitstreams really are decorrelated
+    m0 = np.asarray(keep_mask(jnp.asarray(42, jnp.int32), (L, 2 * L), rate))
+    m1 = np.asarray(keep_mask(_group_stream(jnp.asarray(42, jnp.int32), 1),
+                              (L, 2 * L), rate))
+    assert (m0 != m1).any()
+
+    # and the backward regenerates the same per-group masks (finite, exact
+    # match against a second grad evaluation)
+    g1 = jax.grad(lambda q: jnp.sum(fused_attention_packed(
+        q, kp, vp, heads=H, pack=2, dropout_rate=0.5, seed=sd,
+        interpret=True) ** 2))(qp)
+    g2 = jax.grad(lambda q: jnp.sum(fused_attention_packed(
+        q, kp, vp, heads=H, pack=2, dropout_rate=0.5, seed=sd,
+        interpret=True) ** 2))(qp)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.isfinite(np.asarray(g1)).all()
+
+
+def test_bf16_inputs_native_mxu_math():
+    """bf16 inputs stay bf16 into the kernel matmuls (f32 accumulation):
+    outputs must track an f32 reference to bf16 tolerance, fwd and bwd, for
+    both kernel families (VERDICT r4 ask #2a)."""
+    from rlt_tpu.ops.attention import (fused_attention,
+                                       fused_attention_packed, xla_attention)
+
+    B, H, L, dh = 2, 4, 24, 16
+    q, k, v = qkv((B, H, L, dh), seed=21)
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))
+    ref = xla_attention(q, k, v)
+
+    out = fused_attention(qb, kb, vb, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=0.03, rtol=0.05)
+
+    def packf(a):
+        return a.transpose(0, 2, 1, 3).reshape(B, L, H * dh)
+
+    outp = fused_attention_packed(packf(qb), packf(kb), packf(vb), heads=H,
+                                  pack=2, interpret=True)
+    assert outp.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(outp, np.float32),
+                               np.asarray(packf(ref)), atol=0.03, rtol=0.05)
+
+    # gradients finite and close to the f32 autodiff reference
+    g_b = jax.grad(lambda q: jnp.sum(
+        fused_attention(q, kb, vb, interpret=True).astype(jnp.float32) ** 2))(qb)
+    g_f = jax.grad(lambda q: jnp.sum(xla_attention(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_b, np.float32), np.asarray(g_f),
+                               atol=0.15, rtol=0.1)
+
+
+def test_f32_unaffected_by_bf16_flag(monkeypatch):
+    """RLT_ATTN_BF16 must be a no-op for f32 inputs (the casts are identity),
+    and =0 must restore f32 internal math for bf16 inputs."""
+    from rlt_tpu.ops.attention import fused_attention
+
+    q, k, v = qkv((1, 2, 16, 8), seed=22)
+    base = fused_attention(q, k, v, interpret=True)
+    monkeypatch.setenv("RLT_ATTN_BF16", "0")
+    off = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(off))
+
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))
+    off_b = fused_attention(qb, kb, vb, interpret=True)
+    monkeypatch.setenv("RLT_ATTN_BF16", "1")
+    on_b = fused_attention(qb, kb, vb, interpret=True)
+    # same inputs, ~same math: bf16 PV rounding may differ slightly
+    np.testing.assert_allclose(np.asarray(off_b, np.float32),
+                               np.asarray(on_b, np.float32),
+                               atol=0.02, rtol=0.02)
+
+
 def _ref_packed_dropout(qp, kp, vp, heads, rate, seed):
     """Mask-exact reference: per-head XLA softmax assembled into the packed
     (L, H*L) score layout, the kernel's keep_mask applied, blocks multiplied
