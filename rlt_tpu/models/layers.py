@@ -347,12 +347,21 @@ class SelfAttention(nn.Module):
 
         from rlt_tpu.ops.attention import (PALLAS_MIN_SEQ_LEN,
                                            fused_attention_packed,
-                                           packed_group_size)
+                                           packed_group_size,
+                                           xla_wins_bf16_eval)
+
+        # EVAL-ONLY measured exception: bf16 + wide heads routes the
+        # deterministic forward to XLA (see xla_wins_bf16_eval docstring;
+        # the training path stays on the fused kernels even at dropout=0 —
+        # moecut whole-model evidence)
+        route_xla_eval = (deterministic and x.shape[1] >= PALLAS_MIN_SEQ_LEN
+                          and xla_wins_bf16_eval(x.dtype, head_dim))
 
         pack = packed_group_size(d, self.n_head)
         if (self.use_pallas and pack is not None
                 and x.shape[1] >= PALLAS_MIN_SEQ_LEN
                 and not isinstance(rate, jax.Array)
+                and not route_xla_eval
                 # RLT_ATTN_PACKED=0 falls back to the per-slice kernel
                 # (controlled A/B re-measurement, like RLT_LSTM_FUSE_BIDIR)
                 and os.environ.get("RLT_ATTN_PACKED", "1") == "1"):
@@ -399,8 +408,9 @@ class SelfAttention(nn.Module):
             dropout_rate=0.0 if deterministic else rate,
             dropout_rng=rng,
             # the fused kernel is trainable (custom_vjp + in-kernel dropout),
-            # so it serves the training path too
-            use_pallas=self.use_pallas,
+            # so it serves the training path too; the bf16 eval forward of
+            # wide-head models routes to XLA (measured, route_xla_eval)
+            use_pallas=self.use_pallas and not route_xla_eval,
         )
         # out = concat_heads(attn) @ out_w.T, with the head concat absorbed
         # into the contraction (torch out_proj columns are head-major)

@@ -648,6 +648,23 @@ def xla_attention(
 PALLAS_MIN_SEQ_LEN = 128
 
 
+def xla_wins_bf16_eval(dtype, head_dim: int) -> bool:
+    """Measured routing exception (round 5, RESULTS_attention_r5_bf16.json):
+    in bf16 at EVAL (deterministic forward) with dh >= 64, XLA's batched
+    attention beats both fused kernels (attncut/MMOE-expert shape
+    (63,4,300,64): fwd 0.100 vs 0.202/0.207 ms) — the (B,H,L,L) probs
+    round-trip HBM at half the bytes while the custom kernels stay
+    issue-bound. The decision is EVAL-ONLY on whole-model evidence
+    (/tmp->RESULTS_attn_ab_r5.json routing A/B): routing the no-dropout
+    TRAINING path to XLA (moecut bf16, preset dropout=0) REGRESSES the epoch
+    34.3 -> 37-40 ms despite the isolated-op fwd+bwd win (0.233 vs 0.561) —
+    inside the real program the materialized probs compete for HBM with the
+    expert FFNs. Thin dh=16 heads keep preferring the packed kernel even at
+    eval (0.382 vs 0.496); f32 prefers the fused kernels everywhere at
+    L >= 128 (RESULTS_attention_r5.json)."""
+    return dtype == jnp.bfloat16 and head_dim >= 64
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
