@@ -400,7 +400,7 @@ def _label(name, scopes, target, opcode=""):
         (r"self_attn", "attention"),
         (r"pre_encoding|lstm", "LSTM"),
         (r"linear1|linear2|experts", "expert FFN"),
-        (r"gate", "MMOE gates"),
+        (r"gate|tbe,ebld", "MMOE gates"),  # incl. the gate-weighted expert mix
         (r"tower|classi|rerank|decision", "towers"),
         (r"rng-bit|threefry|rbg|random_bits", "rng bits"),
         (r"^copy\.", "layout copy"),
