@@ -62,29 +62,36 @@ def _sync(out):
     return np.asarray(jax.device_get(metrics["test_f1"]))
 
 
-def time_epochs(trainer, k_long: int, reps: int = 3):
-    """Steady-state s/epoch via single-dispatch K-epoch scanned programs.
-    Returns (per_epoch_s, compile_s)."""
-    keys1, keysK = _epoch_keys(1), _epoch_keys(k_long)
+def time_epochs(trainer, k_long: int, reps: int = 5):
+    """Steady-state s/epoch via single-dispatch K-epoch scanned programs:
+    per_epoch = (t[K] - t[k0]) / (K - k0) with k0 = max(1, K//4), MEDIAN over
+    reps. Differencing two LONG dispatches (not K vs 1) keeps per-dispatch
+    tunnel jitter small relative to both terms, and the median rejects
+    outliers in BOTH directions — round 5 caught the old min-over-reps
+    estimator reporting a physically impossible fast epoch (27 ms / 45% MFU
+    for a program whose device lane measures ~39 ms) when a slow t[1]
+    inflated the subtraction. Returns (per_epoch_s, compile_s)."""
+    k_short = max(1, k_long // 4)
+    keysS, keysK = _epoch_keys(k_short), _epoch_keys(k_long)
     fn = trainer.multi_epoch_fn
 
     t0 = time.perf_counter()
-    _sync(fn(_fresh_state(trainer), trainer.data, keys1))
+    _sync(fn(_fresh_state(trainer), trainer.data, keysS))
     compile_s = time.perf_counter() - t0
     _sync(fn(_fresh_state(trainer), trainer.data, keysK))
 
-    best = float("inf")
+    estimates = []
     for _ in range(reps):
         s1 = _fresh_state(trainer)
         t0 = time.perf_counter()
-        _sync(fn(s1, trainer.data, keys1))
+        _sync(fn(s1, trainer.data, keysS))
         t1 = time.perf_counter()
         sK = _fresh_state(trainer)
         t1b = time.perf_counter()
         _sync(fn(sK, trainer.data, keysK))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1b) - (t1 - t0)) / (k_long - 1))
-    return max(best, 1e-9), compile_s
+        estimates.append(((t2 - t1b) - (t1 - t0)) / (k_long - k_short))
+    return max(float(np.median(estimates)), 1e-9), compile_s
 
 
 # ---------------------------------------------------------------------------

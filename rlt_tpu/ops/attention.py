@@ -655,7 +655,7 @@ def xla_wins_bf16_eval(dtype, head_dim: int) -> bool:
     (63,4,300,64): fwd 0.100 vs 0.202/0.207 ms) — the (B,H,L,L) probs
     round-trip HBM at half the bytes while the custom kernels stay
     issue-bound. The decision is EVAL-ONLY on whole-model evidence
-    (/tmp->RESULTS_attn_ab_r5.json routing A/B): routing the no-dropout
+    (RESULTS.md "Grouped head packing + kernel dtype"): routing the no-dropout
     TRAINING path to XLA (moecut bf16, preset dropout=0) REGRESSES the epoch
     34.3 -> 37-40 ms despite the isolated-op fwd+bwd win (0.233 vs 0.561) —
     inside the real program the materialized probs compete for HBM with the

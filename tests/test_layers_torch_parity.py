@@ -151,3 +151,46 @@ def test_relu_dropout_bit_identical_to_composition():
     # deterministic path is plain relu on both
     assert (Old().apply({}, x32, True, rngs={"dropout": key})
             == New().apply({}, x32, True, rngs={"dropout": key})).all()
+
+
+def test_attention_routing_by_dtype_and_mode():
+    """The SelfAttention dispatch is a measured decision table (RESULTS.md
+    'Grouped head packing + kernel dtype', round 5): packed Pallas kernels
+    wherever packed_group_size admits 128-lane head groups, EXCEPT the bf16
+    wide-head (dh>=64) deterministic forward, which routes to XLA; mq2007's
+    L=40 always routes to XLA. Tracing (make_jaxpr) never executes the
+    kernels, so the routing is assertable on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlt_tpu.models.layers import SelfAttention
+
+    def path(d, n_head, L, dtype, deterministic, dropout=0.1):
+        m = SelfAttention(d_model=d, n_head=n_head, dropout=dropout,
+                          use_pallas=True)
+        x = jnp.zeros((2, L, d), dtype)
+        params = jax.eval_shape(
+            lambda: m.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x))
+        # trace the apply without executing it
+        jaxpr = jax.make_jaxpr(
+            lambda p, x: m.apply(
+                p, x, deterministic,
+                rngs=None if deterministic else
+                {"dropout": jax.random.PRNGKey(2)}))(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params), x)
+        return "pallas_call" in str(jaxpr)
+
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    # robust04 L=300: packed pallas for training everywhere eligible
+    assert path(256, 4, 300, f32, deterministic=False)
+    assert path(256, 4, 300, bf16, deterministic=False)
+    assert path(128, 8, 300, f32, deterministic=False)
+    assert path(128, 8, 300, bf16, deterministic=False)
+    # eval: f32 keeps pallas; bf16 wide-head routes to XLA, thin-head stays
+    assert path(256, 4, 300, f32, deterministic=True)
+    assert not path(256, 4, 300, bf16, deterministic=True)
+    assert path(128, 8, 300, bf16, deterministic=True)
+    # mq2007 L=40: XLA everywhere
+    assert not path(256, 4, 40, f32, deterministic=False)
+    assert not path(128, 8, 40, bf16, deterministic=False)
