@@ -462,3 +462,37 @@ def test_packed_dropout_fwd_and_bwd_mask_exact():
     for gp, gr, name in zip(g_p, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=2e-5, err_msg=f"d{name}")
+
+
+def test_vmap_over_packed_attention():
+    """The MMOE expert stack nn.vmap's SelfAttention, and population
+    training vmaps whole models over a member axis — the PACKED pallas_call
+    (grouped variant included) must batch exactly like the per-slice one:
+    prepended grid dim, per-slice streams stable, custom_vjp batchable."""
+    B, H, L, dh = 2, 4, 16, 8  # pack=2 -> 2 groups
+    E = 3
+    qkv5 = tuple(
+        jax.random.normal(k, (E, B, L, H * dh), jnp.float32)
+        for k in jax.random.split(jax.random.PRNGKey(31), 3))
+    seeds = jnp.arange(E, dtype=jnp.int32).reshape(E, 1) * 1000 + 9
+
+    from rlt_tpu.ops.attention import fused_attention_packed
+
+    def per_expert(q, k, v, seed):
+        return fused_attention_packed(q, k, v, heads=H, pack=2,
+                                      dropout_rate=0.3, seed=seed,
+                                      interpret=True)
+
+    out = jax.vmap(per_expert)(*qkv5, seeds)
+    ref = jnp.stack([
+        per_expert(qkv5[0][e], qkv5[1][e], qkv5[2][e], seeds[e])
+        for e in range(E)
+    ])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # distinct per-expert seeds => distinct masks
+    assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-6
+
+    # grads batch too
+    g = jax.grad(lambda q: jnp.sum(
+        jax.vmap(per_expert)(q, qkv5[1], qkv5[2], seeds) ** 2))(qkv5[0])
+    assert np.isfinite(np.asarray(g)).all()
