@@ -8,9 +8,11 @@ Timing methodology: a python loop of N dispatches with one final
 block_until_ready UNDER-REPORTS through the axon tunnel for Pallas-bearing
 programs (round 1's 0.6 ms/epoch was that artifact — see RESULTS.md
 "Timing methodology"). Here every number times ONE dispatch of the
-multi-epoch scanned program at two lengths and divides the difference:
-per_epoch = (t[K] - t[1]) / (K - 1). Inference throughput likewise chains
-batches through a carry inside one jitted scan.
+multi-epoch scanned program at two LONG lengths and divides the difference:
+per_epoch = median over reps of (t[K] - t[K//4]) / (K - K//4) — see
+time_epochs for why the old (t[K]-t[1])/(K-1) min-over-reps variant was
+biased fast. Inference throughput likewise chains batches through a carry
+inside one jitted scan.
 
 Prints ONE compact JSON line LAST on stdout: the headline MMOECut bf16
 (production-config) epoch metric with the f32 parity lane inline. The full
@@ -71,7 +73,10 @@ def time_epochs(trainer, k_long: int, reps: int = 5):
     estimator reporting a physically impossible fast epoch (27 ms / 45% MFU
     for a program whose device lane measures ~39 ms) when a slow t[1]
     inflated the subtraction. Returns (per_epoch_s, compile_s)."""
-    k_short = max(1, k_long // 4)
+    # k_short must itself be a LONG dispatch (>= 2 epochs) or the estimator
+    # degenerates back to the K-vs-1 differencing it replaces; small k_long
+    # (the 25k-query scaling row uses 4) gets K//2
+    k_short = k_long // 4 if k_long >= 8 else max(1, k_long // 2)
     keysS, keysK = _epoch_keys(k_short), _epoch_keys(k_long)
     fn = trainer.multi_epoch_fn
 
@@ -165,18 +170,21 @@ def time_inference(trainer, batch: int = 256, iters: int = 50):
             return jnp.mean(c)  # scalar: sync by fetching, see _sync
         return run
 
-    one, many = chained(1), chained(iters)
-    for f in (one, many):
+    # long-vs-short differencing + median, like time_epochs: min-over-reps
+    # with an N-vs-1 subtraction admits fast outliers under tunnel jitter
+    n_short = max(1, iters // 4)
+    short, many = chained(n_short), chained(iters)
+    for f in (short, many):
         jax.device_get(f(params, x0))
-    best = float("inf")
-    for _ in range(3):
+    estimates = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        jax.device_get(one(params, x0))
+        jax.device_get(short(params, x0))
         t1 = time.perf_counter()
         jax.device_get(many(params, x0))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (iters - 1))
-    return batch / max(best, 1e-9)
+        estimates.append(((t2 - t1) - (t1 - t0)) / (iters - n_short))
+    return batch / max(float(np.median(estimates)), 1e-9)
 
 
 def bench_model(model_name: str, queries: int = 250, k_long: int = 21,
@@ -257,7 +265,8 @@ def main(quick: bool = False) -> None:
 
     detail = {
         "backend": jax.default_backend(),
-        "methodology": "single-dispatch K-epoch scan, (t[K]-t[1])/(K-1)",
+        "methodology": ("single-dispatch K-epoch scan, "
+                        "median[(t[K]-t[K//4])/(K-K//4)] over 5 reps"),
         "peak_flops_assumed": PEAK_FLOPS,
         "per_model": per_model,
         "scaling_mmoecut": scaling,

@@ -353,9 +353,13 @@ class SelfAttention(nn.Module):
         # EVAL-ONLY measured exception: bf16 + wide heads routes the
         # deterministic forward to XLA (see xla_wins_bf16_eval docstring;
         # the training path stays on the fused kernels even at dropout=0 —
-        # moecut whole-model evidence)
+        # moecut whole-model evidence). RLT_ATTN_XLA_EVAL=0 disables for
+        # controlled A/B (same convention as RLT_ATTN_PACKED): without a
+        # gate, re-running the kernel A/Bs could never reconstruct the
+        # pre-routing program.
         route_xla_eval = (deterministic and x.shape[1] >= PALLAS_MIN_SEQ_LEN
-                          and xla_wins_bf16_eval(x.dtype, head_dim))
+                          and xla_wins_bf16_eval(x.dtype, head_dim)
+                          and os.environ.get("RLT_ATTN_XLA_EVAL", "1") == "1")
 
         pack = packed_group_size(d, self.n_head)
         if (self.use_pallas and pack is not None

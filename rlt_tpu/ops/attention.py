@@ -358,10 +358,12 @@ def _mm(a, b):
 def _group_stream(stream, gi: int):
     """Independent dropout stream per head-group: group 0 keeps the slice
     stream verbatim (bit-compatible with the round-4 single-group kernel);
-    later groups decorrelate via a fixed odd-constant offset."""
+    later groups decorrelate via a fixed odd-constant offset (wrapped to
+    int32 range — gi >= 2 would otherwise overflow the int32 literal at
+    trace time under NumPy 2.x)."""
     if gi == 0:
         return stream
-    return stream + jnp.int32(gi * 0x7F4A7C15)
+    return stream + jnp.int32((gi * 0x7F4A7C15) & 0x7FFFFFFF)
 
 
 def _attn_fwd_packed_kernel(stream_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,

@@ -56,6 +56,11 @@ CASES = [
 
 
 def main():
+    # Pin the bf16-eval XLA routing OFF so the lanes measure ONLY the kernel
+    # flags: the recorded RESULTS_attn_ab_r5.json rows predate that routing,
+    # and without this a re-run's "packed=0 bf16=0" lane would no longer be
+    # the round-4 program (review finding, round 5).
+    os.environ.setdefault("RLT_ATTN_XLA_EVAL", "0")
     k_long = int(os.environ.get("AB_K", "11"))
     out_path = os.environ.get("AB_OUT", "RESULTS_attn_ab_r5.json")
     rows = []

@@ -496,3 +496,32 @@ def test_vmap_over_packed_attention():
     g = jax.grad(lambda q: jnp.sum(
         jax.vmap(per_expert)(q, qkv5[1], qkv5[2], seeds) ** 2))(qkv5[0])
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_packed_three_groups_with_dropout():
+    """Regression: 3+ head groups overflowed the int32 group-stream offset
+    literal at trace time (gi=2 -> 2*0x7F4A7C15 > 2^31-1, NumPy 2.x raises
+    OverflowError). heads=6, dh=16 -> pack computed by the caller as 2
+    would give 3 groups; assert the kernel traces, runs, reproduces, and
+    decorrelates all three group streams."""
+    B, H, L, dh = 1, 6, 16, 8  # pack=2 -> 3 groups of gd=16
+    qp, kp, vp = (jax.random.normal(k, (B, L, H * dh), jnp.float32)
+                  for k in jax.random.split(jax.random.PRNGKey(41), 3))
+    sd = jnp.asarray([7], jnp.int32)
+
+    from rlt_tpu.ops.attention import (_group_stream, fused_attention_packed,
+                                       keep_mask)
+
+    a = fused_attention_packed(qp, kp, vp, heads=H, pack=2, dropout_rate=0.4,
+                               seed=sd, interpret=True)
+    b = fused_attention_packed(qp, kp, vp, heads=H, pack=2, dropout_rate=0.4,
+                               seed=sd, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.isfinite(np.asarray(a)).all()
+
+    streams = [np.asarray(_group_stream(jnp.asarray(7, jnp.int32), gi))
+               for gi in range(3)]
+    assert len({int(s) for s in streams}) == 3
+    masks = [np.asarray(keep_mask(jnp.asarray(int(s), jnp.int32),
+                                  (L, 2 * L), 0.4)) for s in streams]
+    assert (masks[0] != masks[2]).any() and (masks[1] != masks[2]).any()
