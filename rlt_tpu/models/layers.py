@@ -474,27 +474,43 @@ class TransformerEncoder(nn.Module):
 # Output towers (reference models/MMOECut.py:17-53 and the per-model heads)
 # ---------------------------------------------------------------------------
 
+def _tower_logits(x, gates):
+    """Affine tower head with the MMOE gate mix folded into LOGIT space.
+
+    With `gates` (B, E) and x carrying a leading expert axis (E, B, L, D),
+    sum_e g_e (x_e W + b) == (sum_e g_e x_e) W + b exactly (the gates are
+    softmax-normalized, sum_e g_e = 1), so mixing the per-expert (B, L, 1)
+    logits replaces mixing (B, L, D) activations — the reference's
+    broadcast-expand mix (MMOECut.py:101-102) and its backward never
+    materialize. Measured: the tbe,ebld mix + its copies were ~1.5 ms of
+    the 39.8 ms mmoecut bf16 epoch and ~25 ms at B=256 (RESULTS.md
+    "Per-op roofline"); RLT_MMOE_LOGIT_MIX=0 in models/mmoe.py restores
+    the activation-space mix for A/B."""
+    logits = TorchLinear(1, name="linear")(x)
+    if gates is not None:
+        logits = jnp.einsum("be,eblo->blo", gates, logits)
+    return logits
+
+
 class TowerCut(nn.Module):
     """Linear -> softmax over positions: a cut distribution (B, L, 1)."""
 
     @nn.compact
-    def __call__(self, x):
-        logits = TorchLinear(1, name="linear")(x)
-        return jax.nn.softmax(logits, axis=1)
+    def __call__(self, x, gates=None):
+        return jax.nn.softmax(_tower_logits(x, gates), axis=1)
 
 
 class TowerClass(nn.Module):
     """Linear -> sigmoid: per-position relevance probability (B, L, 1)."""
 
     @nn.compact
-    def __call__(self, x):
-        return jax.nn.sigmoid(TorchLinear(1, name="linear")(x))
+    def __call__(self, x, gates=None):
+        return jax.nn.sigmoid(_tower_logits(x, gates))
 
 
 class TowerRerank(nn.Module):
     """Linear -> softmax over positions: rerank score distribution (B, L, 1)."""
 
     @nn.compact
-    def __call__(self, x):
-        logits = TorchLinear(1, name="linear")(x)
-        return jax.nn.softmax(logits, axis=1)
+    def __call__(self, x, gates=None):
+        return jax.nn.softmax(_tower_logits(x, gates), axis=1)

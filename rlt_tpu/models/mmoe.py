@@ -11,8 +11,13 @@ PLECut.py:56-104. TPU-first differences from the torch implementation:
   stacked randn gate tensor (F = 2 * 128 * L, the flattened BiLSTM output;
   this shape-specializes the model to L exactly as the reference does,
   MMOECut.py:68),
-* expert mixing is an einsum (T, B, E) x (E, B, L, D) -> (T, B, L, D) instead
-  of broadcast-expand + sum (MMOECut.py:101-102).
+* expert mixing happens in tower-LOGIT space (layers._tower_logits): the
+  towers' heads are affine and the gates softmax-normalize to 1, so
+  sum_e g_e tower_linear(X_e) == tower_linear(sum_e g_e X_e) exactly — the
+  reference's (B, L, D) mixed activations (broadcast-expand + sum,
+  MMOECut.py:101-102) never materialize, forward or backward.
+  RLT_MMOE_LOGIT_MIX=0 restores the activation-space einsum mix
+  (T, B, E) x (E, B, L, D) -> (T, B, L, D) for A/B re-measurement.
 
 Note: these experts are dense-activated (every expert runs for every input) —
 this is NOT sparse-MoE routing, so no expert parallelism / all-to-all is
@@ -20,6 +25,8 @@ needed (SURVEY §5.8).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -62,6 +69,12 @@ def expert_stack(num_experts: int, **expert_kwargs):
         out_axes=0,
         axis_size=num_experts,
     )(**expert_kwargs, name="experts")
+
+
+def logit_mix() -> bool:
+    """Measured default: mix experts in tower-logit space (module docstring).
+    Read at trace time, like the RLT_ATTN_* gates."""
+    return os.environ.get("RLT_MMOE_LOGIT_MIX", "1") == "1"
 
 
 def make_towers(num_tasks: float, d_model: int):
@@ -108,9 +121,11 @@ class MMOECut(nn.Module):
             (n_gates, self.encoding_size * self.seq_len * 2, self.num_experts),
         )
         gates_o = nn.softmax(jnp.einsum("bf,tfe->tbe", flat, w_gates), axis=-1)
-        towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
-
         towers = make_towers(self.num_tasks, self.d_model)
+        if logit_mix():
+            return [tower(experts_o, gates=gates_o[t])
+                    for t, tower in enumerate(towers)]
+        towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
         return [tower(ti) for tower, ti in zip(towers, towers_input)]
 
 
@@ -144,9 +159,10 @@ class MOECut(nn.Module):
             (self.encoding_size * self.seq_len * 2, self.num_experts),
         )
         gates_o = nn.softmax(flat @ w_gates, axis=-1)  # (B, E)
-        towers_input = jnp.einsum("be,ebld->bld", gates_o, experts_o)
-
         towers = make_towers(self.num_tasks, self.d_model)
+        if logit_mix():
+            return [tower(experts_o, gates=gates_o) for tower in towers]
+        towers_input = jnp.einsum("be,ebld->bld", gates_o, experts_o)
         return [tower(towers_input) for tower in towers]
 
 
@@ -187,6 +203,9 @@ class PLECut(nn.Module):
         for t, (subset, tower) in enumerate(zip(subsets, towers)):
             w = self.param(f"w_gate_{t}", randn_init(), (feat, subset.shape[0]))
             gate = nn.softmax(flat @ w, axis=-1)  # (B, E_t)
-            mixed = jnp.einsum("be,ebld->bld", gate, subset)
-            outputs.append(tower(mixed))
+            if logit_mix():
+                outputs.append(tower(subset, gates=gate))
+            else:
+                mixed = jnp.einsum("be,ebld->bld", gate, subset)
+                outputs.append(tower(mixed))
         return outputs

@@ -49,13 +49,19 @@ class ProbeBase(nn.Module):
             (int(self.num_tasks), self.encoding_size * self.seq_len * 2, self.num_experts),
         )
         gates_o = nn.softmax(jnp.einsum("bf,tfe->tbe", flat, w_gates), axis=-1)
-        towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
         towers = [
             TowerClass(name="tower_class"),
             TowerRerank(name="tower_rerank"),
             TowerCut(name="tower_cut"),
         ]
-        final_output = [tower(ti) for tower, ti in zip(towers, towers_input)]
+        from rlt_tpu.models.mmoe import logit_mix
+
+        if logit_mix():
+            final_output = [tower(experts_o, gates=gates_o[t])
+                            for t, tower in enumerate(towers)]
+        else:
+            towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
+            final_output = [tower(ti) for tower, ti in zip(towers, towers_input)]
         return experts_in, experts_o, final_output
 
 

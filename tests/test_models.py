@@ -131,3 +131,36 @@ def test_multi_head_registry_pins_reference_dispatch():
         assert is_multi_head(name) == ("m" in name), name
     with pytest.raises(ValueError):
         is_multi_head("newmodel_not_registered")
+
+
+def test_logit_mix_equals_activation_mix(monkeypatch):
+    """The tower heads are affine and the gates softmax to 1, so mixing
+    per-expert LOGITS must equal mixing (B, L, D) activations first (the
+    reference's MMOECut.py:101-102 order) up to float reassociation —
+    same params, same outputs, for every MMOE-family model."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlt_tpu.models import build_model
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 20, 3))
+    for name in ("mmoecut", "moecut", "mtple", "probe_base"):
+        model = build_model(name, seq_len=20, input_size=3, dropout=0.0)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x)["params"]
+
+        monkeypatch.setenv("RLT_MMOE_LOGIT_MIX", "1")
+        out_new = model.apply({"params": params}, x, True)
+        monkeypatch.setenv("RLT_MMOE_LOGIT_MIX", "0")
+        out_old = model.apply({"params": params}, x, True)
+
+        new_leaves = jax.tree.leaves(out_new)
+        old_leaves = jax.tree.leaves(out_old)
+        assert len(new_leaves) == len(old_leaves)
+        for a, b in zip(new_leaves, old_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=name)
