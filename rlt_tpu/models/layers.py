@@ -474,6 +474,12 @@ class TransformerEncoder(nn.Module):
 # Output towers (reference models/MMOECut.py:17-53 and the per-model heads)
 # ---------------------------------------------------------------------------
 
+def logit_mix() -> bool:
+    """Measured default: mix MMOE experts in tower-logit space (see
+    _tower_logits). Read at trace time, like the RLT_ATTN_* gates."""
+    return os.environ.get("RLT_MMOE_LOGIT_MIX", "1") == "1"
+
+
 def _tower_logits(x, gates):
     """Affine tower head with the MMOE gate mix folded into LOGIT space.
 
@@ -484,8 +490,13 @@ def _tower_logits(x, gates):
     broadcast-expand mix (MMOECut.py:101-102) and its backward never
     materialize. Measured: the tbe,ebld mix + its copies were ~1.5 ms of
     the 39.8 ms mmoecut bf16 epoch and ~25 ms at B=256 (RESULTS.md
-    "Per-op roofline"); RLT_MMOE_LOGIT_MIX=0 in models/mmoe.py restores
-    the activation-space mix for A/B."""
+    "Per-op roofline"); RLT_MMOE_LOGIT_MIX=0 restores the reference-ordered
+    activation-space mix for A/B — the ONE branch point for every
+    MMOE-family model (kernel shape depends only on D, so params are
+    identical either way)."""
+    if gates is not None and not logit_mix():
+        x = jnp.einsum("be,ebld->bld", gates, x)
+        gates = None
     logits = TorchLinear(1, name="linear")(x)
     if gates is not None:
         logits = jnp.einsum("be,eblo->blo", gates, logits)

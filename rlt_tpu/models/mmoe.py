@@ -26,8 +26,6 @@ needed (SURVEY §5.8).
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,12 +67,6 @@ def expert_stack(num_experts: int, **expert_kwargs):
         out_axes=0,
         axis_size=num_experts,
     )(**expert_kwargs, name="experts")
-
-
-def logit_mix() -> bool:
-    """Measured default: mix experts in tower-logit space (module docstring).
-    Read at trace time, like the RLT_ATTN_* gates."""
-    return os.environ.get("RLT_MMOE_LOGIT_MIX", "1") == "1"
 
 
 def make_towers(num_tasks: float, d_model: int):
@@ -122,11 +114,10 @@ class MMOECut(nn.Module):
         )
         gates_o = nn.softmax(jnp.einsum("bf,tfe->tbe", flat, w_gates), axis=-1)
         towers = make_towers(self.num_tasks, self.d_model)
-        if logit_mix():
-            return [tower(experts_o, gates=gates_o[t])
-                    for t, tower in enumerate(towers)]
-        towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
-        return [tower(ti) for tower, ti in zip(towers, towers_input)]
+        # mix happens inside the tower head (layers._tower_logits — logit
+        # space by default, activation space under RLT_MMOE_LOGIT_MIX=0)
+        return [tower(experts_o, gates=gates_o[t])
+                for t, tower in enumerate(towers)]
 
 
 class MOECut(nn.Module):
@@ -160,10 +151,7 @@ class MOECut(nn.Module):
         )
         gates_o = nn.softmax(flat @ w_gates, axis=-1)  # (B, E)
         towers = make_towers(self.num_tasks, self.d_model)
-        if logit_mix():
-            return [tower(experts_o, gates=gates_o) for tower in towers]
-        towers_input = jnp.einsum("be,ebld->bld", gates_o, experts_o)
-        return [tower(towers_input) for tower in towers]
+        return [tower(experts_o, gates=gates_o) for tower in towers]
 
 
 class PLECut(nn.Module):
@@ -203,9 +191,5 @@ class PLECut(nn.Module):
         for t, (subset, tower) in enumerate(zip(subsets, towers)):
             w = self.param(f"w_gate_{t}", randn_init(), (feat, subset.shape[0]))
             gate = nn.softmax(flat @ w, axis=-1)  # (B, E_t)
-            if logit_mix():
-                outputs.append(tower(subset, gates=gate))
-            else:
-                mixed = jnp.einsum("be,ebld->bld", gate, subset)
-                outputs.append(tower(mixed))
+            outputs.append(tower(subset, gates=gate))
         return outputs

@@ -54,14 +54,8 @@ class ProbeBase(nn.Module):
             TowerRerank(name="tower_rerank"),
             TowerCut(name="tower_cut"),
         ]
-        from rlt_tpu.models.mmoe import logit_mix
-
-        if logit_mix():
-            final_output = [tower(experts_o, gates=gates_o[t])
-                            for t, tower in enumerate(towers)]
-        else:
-            towers_input = jnp.einsum("tbe,ebld->tbld", gates_o, experts_o)
-            final_output = [tower(ti) for tower, ti in zip(towers, towers_input)]
+        final_output = [tower(experts_o, gates=gates_o[t])
+                        for t, tower in enumerate(towers)]
         return experts_in, experts_o, final_output
 
 

@@ -138,10 +138,7 @@ def test_logit_mix_equals_activation_mix(monkeypatch):
     per-expert LOGITS must equal mixing (B, L, D) activations first (the
     reference's MMOECut.py:101-102 order) up to float reassociation —
     same params, same outputs, for every MMOE-family model."""
-    import os
-
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from rlt_tpu.models import build_model
