@@ -272,9 +272,12 @@ def main(quick: bool = False) -> None:
         "scaling_mmoecut": scaling,
         "bench_wall_s": round(time.perf_counter() - t_start, 1),
     }
-    with open("RESULTS_bench.json", "w") as f:
+    # --quick writes its own file: the 2-model smoke lane must not clobber
+    # the full-detail artifact of record (it did once in round 5)
+    detail_file = "RESULTS_bench_quick.json" if quick else "RESULTS_bench.json"
+    with open(detail_file, "w") as f:
         json.dump(detail, f, indent=1)
-    print(f"# full detail -> RESULTS_bench.json", file=sys.stderr)
+    print(f"# full detail -> {detail_file}", file=sys.stderr)
 
     # Compact headline is the LAST stdout line and stays small on purpose:
     # r02's artifact inlined the whole detail blob and the driver's
@@ -289,7 +292,7 @@ def main(quick: bool = False) -> None:
         "f32_epoch_ms": per_model["mmoecut"]["epoch_ms"],
         "bf16_mfu": head["mfu"],
         "infer_lists_per_sec": head.get("infer_lists_per_sec"),
-        "detail_file": "RESULTS_bench.json",
+        "detail_file": detail_file,
     }))
 
 
