@@ -395,3 +395,38 @@ def test_prep_cli_bm25_pickles_and_matchzoo(tmp_path):
                "--seq-len", "10"])
     data = load_pkl_dataset(str(out2), "robust04", "drmm_tks", family="choopy")
     assert data.x_train.shape[0] + data.x_test.shape[0] == 3
+
+
+def test_pipeline_corpus_probe_generator():
+    """The hypothesis-(a) probe's document generator
+    (scripts/pipeline_corpus_probe.py): deterministic per seed, calibrated
+    geometry (oracle well above greedy), and its output feeds the REAL
+    feature pipeline end-to-end at tiny scale."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from pipeline_corpus_probe import (build_features, corpus_baselines,
+                                       gen_raw_corpus)
+
+    tlpq, scores, y = gen_raw_corpus(0, num_queries=6, L=40, vocab_size=300,
+                                     topics=6, rel_lo=3, rel_hi=12)
+    tlpq2, scores2, y2 = gen_raw_corpus(0, num_queries=6, L=40,
+                                        vocab_size=300, topics=6,
+                                        rel_lo=3, rel_hi=12)
+    assert (y == y2).all() and (scores == scores2).all()
+    assert tlpq["0"][0] == tlpq2["0"][0]
+    assert scores.shape == (6, 40) and y.shape == (6, 40)
+    assert 0 < y.sum() < y.size
+    # ranked by score within each query
+    assert all((np.diff(s) <= 1e-6).all() for s in scores)
+
+    base = corpus_baselines(y)
+    assert 0.2 < base["greedy_f1"] <= base["oracle_f1"] <= 1.0
+
+    x, meta = build_features(tlpq, scores, d2v_epochs=2, seed=0)
+    assert x.shape == (6, 40, 3)
+    assert np.isfinite(x).all()
+    # neighbor-sim channels are correlations in [-1, 1]
+    assert np.abs(x[:, :, 1:]).max() <= 1.0 + 1e-5
